@@ -1,0 +1,97 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric: autoregressive generation samples/s at batch 1 on the
+'paper' WaveNet (30 layers) — the capability the reference is known for,
+and the one BASELINE.json targets (">=10x the TF1 fast-generation path").
+The TF1 fast path runs one sess.run per sample; measured rates reported by
+users are O(100) samples/s on GPU-class hardware (no published numbers —
+see BASELINE.md), so vs_baseline is computed against 100 samples/s.
+
+Extra fields on the same line: teacher-forced training throughput in
+audio-seconds/s per chip, and batch-64 generation throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TF1_FAST_GEN_SAMPLES_PER_S = 100.0  # documented estimate (BASELINE.md)
+
+
+def bench_generation(batch_size: int, n_samples: int = 2048) -> float:
+    from wavenet_tpu.models.config import paper_config
+    from wavenet_tpu.models.wavenet import init_params
+    from wavenet_tpu.sample import (
+        generate_codes, init_sampler_state, _featurize)
+
+    config = paper_config()
+    params = init_params(jax.random.PRNGKey(0), config)
+    key = jax.random.PRNGKey(1)
+    first = jnp.full((batch_size,), config.quantization_channels // 2,
+                     jnp.int32)
+
+    def run():
+        state = init_sampler_state(config, batch_size)
+        return generate_codes(params, config, state,
+                              _featurize(first, config), n_samples, key)
+
+    codes = run()  # compile + warm
+    jax.block_until_ready(codes)
+    t0 = time.perf_counter()
+    codes = run()
+    jax.block_until_ready(codes)
+    dt = time.perf_counter() - t0
+    return batch_size * n_samples / dt
+
+
+def bench_training(batch_size: int = 2, sample_size: int = 16000) -> float:
+    from wavenet_tpu.models.config import paper_config
+    from wavenet_tpu.train_lib import (
+        create_train_state, make_optimizer, make_train_step)
+
+    config = paper_config()
+    optimizer = make_optimizer("adam", 1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), config, optimizer)
+    train_step = make_train_step(config, optimizer, None)
+
+    T = config.receptive_field + sample_size
+    audio = jnp.asarray(np.random.RandomState(0).uniform(
+        -1, 1, (batch_size, T)).astype(np.float32))
+
+    state, metrics = train_step(state, audio)  # compile + warm
+    jax.block_until_ready(metrics)
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = train_step(state, audio)
+    jax.block_until_ready(metrics)
+    dt = (time.perf_counter() - t0) / n_steps
+    # Audio-seconds consumed per step = predicted samples / sample_rate.
+    return batch_size * sample_size / config.sample_rate / dt
+
+
+def main():
+    gen_b1 = bench_generation(1)
+    gen_b64 = bench_generation(64)
+    train_aps = bench_training()
+    print(json.dumps({
+        "metric": "gen_samples_per_s_b1_paper",
+        "value": round(gen_b1, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(gen_b1 / TF1_FAST_GEN_SAMPLES_PER_S, 2),
+        "extra": {
+            "gen_samples_per_s_b64": round(gen_b64, 2),
+            "train_audio_sec_per_s_per_chip": round(train_aps, 3),
+            "device": str(jax.devices()[0]),
+            "config": "paper (30 layers, 32 res / 512 skip, Q=256)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

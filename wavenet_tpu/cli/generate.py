@@ -1,0 +1,180 @@
+"""Generation CLI — flag surface mirrors the reference's generate.py.
+
+Reference: generate.py ≈:25-90 (flags: checkpoint positional, --samples,
+--temperature, --wav_out_path, --save_every, --fast_generation, --wav_seed,
+--gc_channels, --gc_cardinality, --gc_id), ≈:120-240 (main). The fast path
+here is a single jit'd lax.scan (wavenet_tpu/sample.py) instead of one
+sess.run per sample; the slow path re-runs the full conv net per sample for
+cross-checking, like the reference's --fast_generation=false.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SAMPLES = 16000
+TEMPERATURE = 1.0
+LOGDIR = "./logdir"
+WAVENET_PARAMS = "./wavenet_params.json"
+SAVE_EVERY = None
+SILENCE_THRESHOLD = 0.1
+
+
+def get_arguments(argv=None):
+    def _str_to_bool(s):
+        if s.lower() not in ("true", "false"):
+            raise ValueError("Argument needs to be a boolean, got {}".format(s))
+        return s.lower() == "true"
+
+    parser = argparse.ArgumentParser(description="WaveNet generation (TPU-native)")
+    parser.add_argument("checkpoint", type=str,
+                        help="Directory with orbax ckpt-<step> checkpoints "
+                             "(or a specific ckpt-<step> path).")
+    parser.add_argument("--samples", type=int, default=SAMPLES)
+    parser.add_argument("--temperature", type=float, default=TEMPERATURE)
+    parser.add_argument("--logdir", type=str, default=LOGDIR)
+    parser.add_argument("--wavenet_params", type=str, default=WAVENET_PARAMS)
+    parser.add_argument("--wav_out_path", type=str, default=None)
+    parser.add_argument("--save_every", type=int, default=SAVE_EVERY,
+                        help="Write the partial wav every n samples.")
+    parser.add_argument("--fast_generation", type=_str_to_bool, default=True)
+    parser.add_argument("--wav_seed", type=str, default=None)
+    parser.add_argument("--batch_size", type=int, default=1,
+                        help="Generate this many waveforms at once "
+                             "(TPU-native extension; wav_out_path gets a "
+                             "-<i> suffix per batch element).")
+    parser.add_argument("--gc_channels", type=int, default=None)
+    parser.add_argument("--gc_cardinality", type=int, default=None)
+    parser.add_argument("--gc_id", type=int, default=None,
+                        help="ID of category to generate, int value.")
+    parser.add_argument("--seed", type=int, default=None,
+                        help="PRNG seed for sampling.")
+    return parser.parse_args(argv)
+
+
+def create_seed(filename, sample_rate, quantization_channels, window_size,
+                silence_threshold=SILENCE_THRESHOLD):
+    """Load + trim a seed wav, return its mu-law codes (generate.py ≈:105)."""
+    from wavenet_tpu.audio import mu_law_encode_np, read_wav, trim_silence
+
+    audio, _ = read_wav(filename, sample_rate)
+    audio = trim_silence(audio, silence_threshold)
+    cut = audio[:window_size] if window_size else audio
+    return mu_law_encode_np(cut, quantization_channels)
+
+
+def main(argv=None):
+    args = get_arguments(argv)
+
+    from wavenet_tpu.audio import mu_law_decode, write_wav
+    from wavenet_tpu.models.config import WaveNetConfig
+    from wavenet_tpu.models.wavenet import (
+        embed_gc, init_params, predict_proba)
+    from wavenet_tpu.sample import generate
+    from wavenet_tpu.train_lib import restore_params_only
+
+    with open(args.wavenet_params, "r") as f:
+        wavenet_params = json.load(f)
+
+    if args.gc_channels is not None and args.gc_cardinality is None:
+        raise ValueError("Global conditioning needs --gc_cardinality "
+                         "(training derived it from the data; generation "
+                         "requires the flag, like the reference).")
+
+    config = WaveNetConfig.from_json(
+        wavenet_params,
+        gc_channels=args.gc_channels,
+        gc_cardinality=args.gc_cardinality)
+
+    template = init_params(jax.random.PRNGKey(0), config)
+    import os
+    ckpt_dir = args.checkpoint
+    step = None
+    base = os.path.basename(os.path.normpath(ckpt_dir))
+    if base.startswith("ckpt-"):
+        step = int(base.split("-")[1])
+        ckpt_dir = os.path.dirname(os.path.normpath(ckpt_dir))
+    params = restore_params_only(ckpt_dir, template, step)
+    if params is None:
+        raise FileNotFoundError(f"No checkpoint found in {args.checkpoint}")
+    print(f"Restoring model from {args.checkpoint}")
+
+    gc_ids = None
+    if args.gc_id is not None:
+        if args.gc_channels is None:
+            raise ValueError("Globally conditioning is enabled, but global "
+                             "condition was not specified. Use --gc_channels.")
+        gc_ids = jnp.full((args.batch_size,), args.gc_id, jnp.int32)
+
+    seed_codes = None
+    if args.wav_seed:
+        codes = create_seed(args.wav_seed, wavenet_params["sample_rate"],
+                            config.quantization_channels,
+                            config.receptive_field)
+        seed_codes = jnp.tile(jnp.asarray(codes)[None, :],
+                              (args.batch_size, 1))
+
+    key = jax.random.PRNGKey(args.seed if args.seed is not None else 0)
+
+    if args.fast_generation:
+        codes = generate(params, config, args.samples, key,
+                         batch_size=args.batch_size, gc_ids=gc_ids,
+                         temperature=args.temperature,
+                         seed_codes=seed_codes)
+    else:
+        # Slow path: full conv forward on the trailing receptive-field
+        # window per sample (reference predict_proba loop, ≈:217).
+        codes = _generate_slow(params, config, args, key, gc_ids, seed_codes)
+
+    codes = np.asarray(jax.device_get(codes))
+    waveform = np.asarray(
+        jax.device_get(mu_law_decode(codes, config.quantization_channels)))
+
+    if args.wav_out_path:
+        sr = wavenet_params["sample_rate"]
+        if args.batch_size == 1:
+            write_wav(args.wav_out_path, waveform[0], sr)
+            print(f"Updated wav file at {args.wav_out_path}")
+        else:
+            root, ext = os.path.splitext(args.wav_out_path)
+            for i in range(args.batch_size):
+                path = f"{root}-{i}{ext}"
+                write_wav(path, waveform[i], sr)
+                print(f"Updated wav file at {path}")
+    print("Finished generating.")
+    return 0
+
+
+def _generate_slow(params, config, args, key, gc_ids, seed_codes):
+    """O(receptive_field) per sample — parity/debug path."""
+    from wavenet_tpu.models.wavenet import predict_proba
+
+    rf = config.receptive_field
+    if seed_codes is not None:
+        window = np.asarray(seed_codes)
+    else:
+        window = np.full((args.batch_size, 1),
+                         config.quantization_channels // 2, np.int32)
+    out = []
+    for i in range(args.samples):
+        key, sub = jax.random.split(key)
+        probs = predict_proba(params, config,
+                              jnp.asarray(window[:, -rf:]), gc_ids)
+        logits = jnp.log(jnp.maximum(probs, 1e-30))
+        code = np.asarray(
+            jax.random.categorical(sub, logits / args.temperature, axis=-1))
+        window = np.concatenate([window, code[:, None]], axis=1)
+        out.append(code)
+        if i % 100 == 0:
+            print(f"Sample {i}/{args.samples}")
+    return np.stack(out, axis=1)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

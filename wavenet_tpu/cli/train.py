@@ -1,0 +1,236 @@
+"""Training CLI — flag surface mirrors the reference's train.py.
+
+Reference: train.py ≈:40-140 (get_arguments), ≈:175-205
+(validate_directories logdir/logdir_root/restore_from rules), ≈:210-320
+(main loop). Differences: the step is one jit'd XLA program (train_lib),
+checkpoints are orbax directories, profiling uses jax.profiler traces
+(viewable in TensorBoard/Perfetto) instead of TF Chrome timelines.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from datetime import datetime
+
+import jax
+import numpy as np
+
+BATCH_SIZE = 1
+DATA_DIRECTORY = "./VCTK-Corpus"
+LOGDIR_ROOT = "./logdir"
+CHECKPOINT_EVERY = 50
+NUM_STEPS = int(1e5)
+LEARNING_RATE = 1e-3
+WAVENET_PARAMS = "./wavenet_params.json"
+STARTED_DATESTRING = "{0:%Y-%m-%dT%H-%M-%S}".format(datetime.now())
+SAMPLE_SIZE = 100000
+L2_REGULARIZATION_STRENGTH = 0
+SILENCE_THRESHOLD = 0.3
+EPSILON = 0.001
+MOMENTUM = 0.9
+MAX_TO_KEEP = 5
+
+
+def get_arguments(argv=None):
+    def _str_to_bool(s):
+        if s.lower() not in ("true", "false"):
+            raise ValueError("Argument needs to be a boolean, got {}".format(s))
+        return s.lower() == "true"
+
+    parser = argparse.ArgumentParser(description="WaveNet training (TPU-native)")
+    parser.add_argument("--batch_size", type=int, default=BATCH_SIZE)
+    parser.add_argument("--data_dir", type=str, default=DATA_DIRECTORY)
+    parser.add_argument("--store_metadata", type=bool, default=False,
+                        help="Record profiler traces every 50 steps.")
+    parser.add_argument("--logdir", type=str, default=None)
+    parser.add_argument("--logdir_root", type=str, default=None)
+    parser.add_argument("--restore_from", type=str, default=None)
+    parser.add_argument("--checkpoint_every", type=int, default=CHECKPOINT_EVERY)
+    parser.add_argument("--num_steps", type=int, default=NUM_STEPS)
+    parser.add_argument("--learning_rate", type=float, default=LEARNING_RATE)
+    parser.add_argument("--wavenet_params", type=str, default=WAVENET_PARAMS)
+    parser.add_argument("--sample_size", type=int, default=SAMPLE_SIZE)
+    parser.add_argument("--l2_regularization_strength", type=float,
+                        default=L2_REGULARIZATION_STRENGTH)
+    parser.add_argument("--silence_threshold", type=float,
+                        default=SILENCE_THRESHOLD)
+    parser.add_argument("--optimizer", type=str, default="adam",
+                        choices=["adam", "sgd", "rmsprop"])
+    parser.add_argument("--momentum", type=float, default=MOMENTUM)
+    parser.add_argument("--histograms", type=_str_to_bool, default=False)
+    parser.add_argument("--gc_channels", type=int, default=None,
+                        help="Global condition channels; enables speaker "
+                             "conditioning.")
+    parser.add_argument("--max_checkpoints", type=int, default=MAX_TO_KEEP)
+    parser.add_argument("--model_parallelism", type=int, default=1,
+                        help="Chips per model replica (TPU-native extension; "
+                             "remaining chips go data-parallel).")
+    parser.add_argument("--compute_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"])
+    parser.add_argument("--seed", type=int, default=None)
+    return parser.parse_args(argv)
+
+
+def get_default_logdir(logdir_root):
+    return os.path.join(logdir_root, "train", STARTED_DATESTRING)
+
+
+def validate_directories(args):
+    """The reference's logdir mutual-exclusion rules (train.py ≈:175-205)."""
+    if args.logdir and args.logdir_root:
+        raise ValueError("--logdir and --logdir_root cannot be specified "
+                         "at the same time.")
+    if args.logdir and args.restore_from:
+        raise ValueError(
+            "--logdir and --restore_from cannot be specified at the same "
+            "time. This is to keep your previous model from unexpected "
+            "overwrites.\n"
+            "Use --logdir_root to specify the root of the directory which "
+            "will be automatically created with current date and time, or "
+            "use only --logdir to just continue the training from the "
+            "model in the directory.")
+
+    logdir = args.logdir
+    logdir_root = args.logdir_root
+    if logdir_root is None:
+        logdir_root = LOGDIR_ROOT
+    if logdir is None:
+        logdir = get_default_logdir(logdir_root)
+        print(f"Using default logdir: {logdir}")
+    restore_from = args.restore_from
+    if restore_from is None:
+        # args.logdir mode: restore from logdir itself (continue training).
+        restore_from = logdir
+    return {
+        "logdir": logdir,
+        "logdir_root": logdir_root,
+        "restore_from": restore_from,
+    }
+
+
+def main(argv=None):
+    args = get_arguments(argv)
+    try:
+        directories = validate_directories(args)
+    except ValueError as e:
+        print(f"Some arguments are wrong:\n{e}")
+        return 1
+
+    logdir = directories["logdir"]
+    restore_from = directories["restore_from"]
+    # Even when we restored from another directory, training overwrites
+    # checkpoints into logdir (the reference's is_overwritten_training flag).
+    is_overwritten_training = logdir != restore_from
+
+    from wavenet_tpu.data.reader import AudioReader
+    from wavenet_tpu.models.config import WaveNetConfig
+    from wavenet_tpu.models.wavenet import init_params
+    from wavenet_tpu.parallel.sharding import (
+        make_mesh, shard_batch, shard_train_state)
+    from wavenet_tpu.train_lib import (
+        StepTimer, audio_seconds_per_second, create_train_state,
+        make_optimizer, make_train_step, restore_checkpoint, save_checkpoint)
+    from wavenet_tpu.utils.summaries import SummaryWriter
+
+    with open(args.wavenet_params, "r") as f:
+        wavenet_params = json.load(f)
+
+    gc_enabled = args.gc_channels is not None
+
+    receptive_field_probe = WaveNetConfig.from_json(wavenet_params)
+    reader = AudioReader(
+        args.data_dir,
+        sample_rate=wavenet_params["sample_rate"],
+        gc_enabled=gc_enabled,
+        receptive_field=receptive_field_probe.receptive_field,
+        sample_size=args.sample_size,
+        silence_threshold=(args.silence_threshold
+                           if args.silence_threshold > 0 else None),
+        seed=args.seed,
+    )
+
+    config = WaveNetConfig.from_json(
+        wavenet_params,
+        gc_channels=args.gc_channels,
+        gc_cardinality=reader.gc_category_cardinality if gc_enabled else None,
+        compute_dtype=args.compute_dtype,
+    )
+
+    if args.l2_regularization_strength == 0:
+        args.l2_regularization_strength = None
+
+    optimizer = make_optimizer(args.optimizer, args.learning_rate,
+                               args.momentum)
+    key = jax.random.PRNGKey(args.seed if args.seed is not None else 0)
+    state = create_train_state(key, config, optimizer)
+
+    restored = restore_checkpoint(restore_from, state)
+    if restored is not None:
+        state = restored
+        print(f"Restored model from step {int(jax.device_get(state.step))}")
+    else:
+        print("No checkpoint found; starting new training.")
+
+    mesh = make_mesh(model_parallelism=args.model_parallelism)
+    state = shard_train_state(state, config, mesh)
+
+    train_step = make_train_step(config, optimizer,
+                                 args.l2_regularization_strength)
+
+    os.makedirs(logdir, exist_ok=True)
+    writer = SummaryWriter(logdir)
+    reader.start_threads()
+
+    saved_global_step = int(jax.device_get(state.step))
+    last_saved_step = saved_global_step
+    timer = StepTimer()
+    step = saved_global_step
+    try:
+        for step in range(saved_global_step + 1, args.num_steps + 1):
+            audio = reader.dequeue(args.batch_size)
+            gc_ids = reader.dequeue_gc(args.batch_size) if gc_enabled else None
+            audio, gc_ids = shard_batch(audio, mesh, gc_ids)
+
+            if args.store_metadata and step % 50 == 0:
+                with jax.profiler.trace(os.path.join(logdir, "profile")):
+                    state, metrics = train_step(state, audio, gc_ids)
+                    jax.block_until_ready(metrics)
+            else:
+                state, metrics = train_step(state, audio, gc_ids)
+
+            loss_value = float(jax.device_get(metrics["loss"]))
+            duration = timer.lap()
+            aps = audio_seconds_per_second(
+                audio.shape[0] * audio.shape[1],
+                wavenet_params["sample_rate"], duration)
+            print(f"step {step} - loss = {loss_value:.3f}, "
+                  f"({duration:.3f} sec/step, {aps:.2f} audio-sec/s)")
+            writer.scalar("loss", loss_value, step)
+            writer.scalar("sec_per_step", duration, step)
+            if "l2_loss" in metrics:
+                writer.scalar("l2_loss",
+                              float(jax.device_get(metrics["l2_loss"])), step)
+            if args.histograms and step % 50 == 0:
+                for k, v in state.params.items():
+                    writer.histogram(f"params/{k}",
+                                     np.asarray(jax.device_get(v)), step)
+
+            if step % args.checkpoint_every == 0:
+                save_checkpoint(logdir, state)
+                last_saved_step = step
+    except KeyboardInterrupt:
+        print()
+    finally:
+        if step > last_saved_step:
+            save_checkpoint(logdir, state)
+        reader.stop_threads()
+        writer.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

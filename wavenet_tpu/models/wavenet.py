@@ -1,0 +1,310 @@
+"""Functional WaveNet: parameter init, forward pass, loss.
+
+This is a ground-up TPU-native re-design of the reference's ``WaveNetModel``
+(reference: wavenet/model.py ≈:70-740). Differences in HOW, parity in WHAT:
+
+* Parameters are a plain pytree (dict of stacked arrays), not named TF
+  variables. All per-layer weights are stacked along a leading layer axis
+  ``[L, ...]`` — one leaf per weight kind. That keeps the pytree small,
+  makes tensor-parallel PartitionSpecs one-liners, and lets a future
+  scan-over-layers / remat policy operate on a single array.
+* Every layer keeps the FULL time axis: dilated convs are causally
+  left-padded (``ops.conv.causal_conv_padded``) instead of VALID-and-slice.
+  For output positions ``t >= receptive_field - 1`` this is exactly equal to
+  the reference's shrinking VALID chain (tests assert it), and it gives XLA
+  static, layer-invariant shapes to fuse.
+* The loss slices once at the end (predictions ``[RF-1 : T-1]`` vs targets
+  ``[RF:]``), reproducing the reference's slice alignment
+  (model.py ≈:700-740: drop last input sample; targets start at
+  receptive_field).
+
+Init parity quirks preserved from the reference:
+* conv weights: Glorot/Xavier *uniform* with conv fan-in/out
+  (= tf.contrib.layers.xavier_initializer on [fw, in, out] shapes),
+* biases: zeros (model.py ≈:25),
+* GC embedding: IDENTITY matrix when gc_cardinality == gc_channels — i.e.
+  one-hot semantics — else Xavier (model.py ``create_embedding_table`` ≈:14).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from wavenet_tpu.audio import mu_law_encode
+from wavenet_tpu.models.config import WaveNetConfig
+from wavenet_tpu.ops.conv import causal_conv_padded, conv1x1
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+def _xavier_uniform(key, shape, dtype=jnp.float32):
+    """Glorot uniform with TF conv fan semantics: fan = prod(spatial)*channels."""
+    if len(shape) == 2:
+        fan_in, fan_out = shape
+    elif len(shape) == 3:  # [filter_width, in, out]
+        fan_in = shape[0] * shape[1]
+        fan_out = shape[0] * shape[2]
+    elif len(shape) == 4:  # [L, filter_width, in, out] — stacked layers:
+        # each layer must be initialized as an independent [fw, in, out] draw.
+        fan_in = shape[1] * shape[2]
+        fan_out = shape[1] * shape[3]
+    else:
+        raise ValueError(f"unsupported shape {shape}")
+    limit = (6.0 / (fan_in + fan_out)) ** 0.5
+    return jax.random.uniform(key, shape, dtype, minval=-limit, maxval=limit)
+
+
+def create_embedding_table(key, cardinality: int, channels: int,
+                           dtype=jnp.float32) -> jnp.ndarray:
+    """Identity when square (one-hot semantics), else Xavier.
+
+    Parity with reference ``create_embedding_table`` (model.py ≈:14-24).
+    """
+    if cardinality == channels:
+        return jnp.eye(cardinality, dtype=dtype)
+    return _xavier_uniform(key, (cardinality, channels), dtype)
+
+
+def init_params(key: jax.Array, config: WaveNetConfig) -> Params:
+    """Build the parameter pytree (reference ``_create_variables`` ≈:130-260).
+
+    Layout (L = num layers, fw = filter_width, R/D/S/Q = residual / dilation
+    / skip / quantization channels, G = gc_channels):
+
+        causal_filter             [ifw|fw, 1|Q, R]
+        filter, gate              [L, fw, R, D]
+        dense                     [L, D, R]
+        skip                      [L, D, S]
+        gc_filter, gc_gate        [L, G, D]          (if GC)
+        filter_bias, gate_bias    [L, D]             (if use_biases)
+        dense_bias                [L, R]             (if use_biases)
+        skip_bias                 [L, S]             (if use_biases)
+        postprocess1              [S, S]
+        postprocess2              [S, Q]
+        postprocess1_bias/2_bias  [S] / [Q]          (if use_biases)
+        gc_embedding              [cardinality, G]   (if GC)
+    """
+    c = config
+    L = c.num_layers
+    fw, R, D, S, Q = (c.filter_width, c.residual_channels,
+                      c.dilation_channels, c.skip_channels,
+                      c.quantization_channels)
+    keys = iter(jax.random.split(key, 16))
+    params: Params = {}
+
+    if c.scalar_input:
+        params["causal_filter"] = _xavier_uniform(
+            next(keys), (c.initial_filter_width, 1, R))
+    else:
+        params["causal_filter"] = _xavier_uniform(next(keys), (fw, Q, R))
+
+    params["filter"] = _xavier_uniform(next(keys), (L, fw, R, D))
+    params["gate"] = _xavier_uniform(next(keys), (L, fw, R, D))
+    # 1x1 convs stored as plain matrices (their filter_width-1 axis dropped);
+    # xavier fans match the reference's [1, in, out] conv shapes.
+    params["dense"] = _xavier_uniform(next(keys), (L, 1, D, R))[:, 0]
+    params["skip"] = _xavier_uniform(next(keys), (L, 1, D, S))[:, 0]
+    params["postprocess1"] = _xavier_uniform(next(keys), (1, S, S))[0]
+    params["postprocess2"] = _xavier_uniform(next(keys), (1, S, Q))[0]
+
+    if c.gc_enabled:
+        G = c.gc_channels
+        params["gc_embedding"] = create_embedding_table(
+            next(keys), c.gc_cardinality, G)
+        params["gc_filter"] = _xavier_uniform(next(keys), (L, 1, G, D))[:, 0]
+        params["gc_gate"] = _xavier_uniform(next(keys), (L, 1, G, D))[:, 0]
+
+    if c.use_biases:
+        params["filter_bias"] = jnp.zeros((L, D))
+        params["gate_bias"] = jnp.zeros((L, D))
+        params["dense_bias"] = jnp.zeros((L, R))
+        params["skip_bias"] = jnp.zeros((L, S))
+        params["postprocess1_bias"] = jnp.zeros((S,))
+        params["postprocess2_bias"] = jnp.zeros((Q,))
+
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def one_hot(encoded: jnp.ndarray, quantization_channels: int) -> jnp.ndarray:
+    """int [B, T] -> float32 one-hot [B, T, Q] (reference ``_one_hot`` ≈:580)."""
+    return jax.nn.one_hot(encoded, quantization_channels, dtype=jnp.float32)
+
+
+def embed_gc(params: Params, config: WaveNetConfig,
+             gc_ids: jnp.ndarray) -> jnp.ndarray:
+    """Speaker ids [B] -> embeddings [B, G].
+
+    Reference ``_embed_gc`` (model.py ≈:595-625) uses
+    ``tf.nn.embedding_lookup``; on TPU a one-hot matmul is the
+    shard-friendly form — it rides the MXU and shards over the model axis
+    with no gather.
+    """
+    oh = jax.nn.one_hot(gc_ids, config.gc_cardinality, dtype=jnp.float32)
+    return oh @ params["gc_embedding"]
+
+
+def _maybe_cast(x, config: WaveNetConfig):
+    if config.compute_dtype == "bfloat16":
+        return x.astype(jnp.bfloat16)
+    return x
+
+
+def forward(params: Params, config: WaveNetConfig,
+            network_input: jnp.ndarray,
+            gc_embedding: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Full-length forward pass: [B, T, C_in] -> logits [B, T, Q].
+
+    ``network_input`` is one-hot mu-law floats (or [B, T, 1] raw amplitude
+    in scalar-input mode). ``gc_embedding`` is [B, G] or None. Output
+    position t is the model's prediction for input position t+1; only
+    positions t >= receptive_field - 1 have a full receptive field (and are
+    exactly equal to the reference's VALID-conv outputs).
+
+    Mirrors reference ``_create_network`` (model.py ≈:435-500):
+    causal layer -> L gated dilation layers accumulating skips ->
+    relu . 1x1 . relu . 1x1 -> logits.
+    """
+    c = config
+    compute_dtype = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
+    precision = (lax.Precision.DEFAULT if c.compute_dtype == "bfloat16"
+                 else lax.Precision.HIGHEST)
+
+    x = _maybe_cast(network_input, c)
+    causal_w = _maybe_cast(params["causal_filter"], c)
+    # Initial causal layer (reference ``_create_causal_layer`` ≈:265).
+    current = causal_conv_padded(x, causal_w, dilation=1, precision=precision)
+
+    use_biases = c.use_biases
+    gc = None
+    if gc_embedding is not None:
+        gc = _maybe_cast(gc_embedding, c)  # [B, G]
+
+    skip_sum = None
+    for i, dilation in enumerate(c.dilations):
+        # Gated unit (reference ``_create_dilation_layer`` ≈:280-360):
+        #   out = tanh(Wf * x [+ gcf + bf]) . sigmoid(Wg * x [+ gcg + bg])
+        w_f = _maybe_cast(params["filter"][i], c)
+        w_g = _maybe_cast(params["gate"][i], c)
+        conv_filter = causal_conv_padded(current, w_f, dilation, precision)
+        conv_gate = causal_conv_padded(current, w_g, dilation, precision)
+
+        if gc is not None:
+            # [B, G] @ [G, D] -> [B, 1, D], broadcast over time (the
+            # reference's 1x1 conv of the [B, 1, G] embedding, ≈:300).
+            gcf = (gc @ _maybe_cast(params["gc_filter"][i], c))[:, None, :]
+            gcg = (gc @ _maybe_cast(params["gc_gate"][i], c))[:, None, :]
+            conv_filter = conv_filter + gcf
+            conv_gate = conv_gate + gcg
+
+        if use_biases:
+            conv_filter = conv_filter + _maybe_cast(params["filter_bias"][i], c)
+            conv_gate = conv_gate + _maybe_cast(params["gate_bias"][i], c)
+
+        out = jnp.tanh(conv_filter) * jax.nn.sigmoid(conv_gate)
+
+        # 1x1 residual projection and skip projection (≈:330-355).
+        transformed = conv1x1(out, _maybe_cast(params["dense"][i], c), precision)
+        skip_contribution = conv1x1(out, _maybe_cast(params["skip"][i], c), precision)
+        if use_biases:
+            transformed = transformed + _maybe_cast(params["dense_bias"][i], c)
+            skip_contribution = skip_contribution + _maybe_cast(params["skip_bias"][i], c)
+
+        skip_sum = (skip_contribution if skip_sum is None
+                    else skip_sum + skip_contribution)
+        current = current + transformed
+
+    # Postprocessing head (reference ≈:480-500).
+    h = jax.nn.relu(skip_sum)
+    h = conv1x1(h, _maybe_cast(params["postprocess1"], c), precision)
+    if use_biases:
+        h = h + _maybe_cast(params["postprocess1_bias"], c)
+    h = jax.nn.relu(h)
+    h = conv1x1(h, _maybe_cast(params["postprocess2"], c), precision)
+    if use_biases:
+        h = h + _maybe_cast(params["postprocess2_bias"], c)
+    return h.astype(jnp.float32)
+
+
+def predict_proba(params: Params, config: WaveNetConfig,
+                  waveform: jnp.ndarray,
+                  gc_ids: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Probabilities of the NEXT sample given an encoded window.
+
+    ``waveform``: int mu-law classes [B, T] (or float amplitudes [B, T] in
+    scalar-input mode). Returns softmax probs [B, Q] for sample T (parity
+    with reference ``predict_proba`` ≈:630, which runs the full network on
+    the window and softmaxes the last output position).
+    """
+    if config.scalar_input:
+        net_in = waveform[..., None].astype(jnp.float32)
+    else:
+        net_in = one_hot(waveform, config.quantization_channels)
+    gc_emb = embed_gc(params, config, gc_ids) if gc_ids is not None else None
+    logits = forward(params, config, net_in, gc_emb)
+    return jax.nn.softmax(logits[:, -1, :], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Loss
+# ---------------------------------------------------------------------------
+
+def loss_fn(params: Params, config: WaveNetConfig,
+            audio_batch: jnp.ndarray,
+            gc_ids: Optional[jnp.ndarray] = None,
+            l2_regularization_strength: Optional[float] = None):
+    """Teacher-forced cross-entropy (reference ``loss`` model.py ≈:675-740).
+
+    ``audio_batch``: float waveform [B, T] (already left-padded with
+    receptive_field zeros by the data pipeline, like the reference's
+    reader). Slice alignment parity:
+
+        network input = featurized(audio)[:, :T-1]
+        predictions   = outputs[:, RF-1 : ]          (length T - RF)
+        targets       = mu_law_encode(audio)[:, RF:] (length T - RF)
+
+    Returns (total_loss, aux_dict) where aux has 'ce_loss' and 'l2_loss'.
+    L2 excludes bias terms, as in the reference (≈:725).
+    """
+    c = config
+    rf = c.receptive_field
+    if audio_batch.ndim == 3:  # tolerate the reference's [B, T, 1] layout
+        audio_batch = audio_batch[..., 0]
+
+    encoded = mu_law_encode(audio_batch, c.quantization_channels)  # [B, T]
+    if c.scalar_input:
+        network_input = audio_batch[..., None].astype(jnp.float32)
+    else:
+        network_input = one_hot(encoded, c.quantization_channels)
+    network_input = network_input[:, :-1, :]
+
+    gc_emb = embed_gc(params, c, gc_ids) if gc_ids is not None else None
+    raw_output = forward(params, c, network_input, gc_emb)  # [B, T-1, Q]
+
+    prediction = raw_output[:, rf - 1:, :]
+    target = encoded[:, rf:]
+
+    # softmax_cross_entropy_with_logits, reduce_mean (reference ≈:720).
+    logp = jax.nn.log_softmax(prediction, axis=-1)
+    ce = -jnp.mean(jnp.take_along_axis(logp, target[..., None], axis=-1))
+
+    aux = {"ce_loss": ce}
+    total = ce
+    if l2_regularization_strength:
+        l2 = sum(jnp.sum(jnp.square(v)) for k, v in params.items()
+                 if not k.endswith("_bias"))
+        aux["l2_loss"] = l2
+        total = ce + l2_regularization_strength * l2
+    aux["total_loss"] = total
+    return total, aux

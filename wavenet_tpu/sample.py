@@ -1,0 +1,222 @@
+"""Fast autoregressive sampling: jit'd lax.scan over ring-buffered state.
+
+The reference's fast-generation path (reference: wavenet/model.py
+``_create_generator`` ≈:505-575, per the Fast WaveNet paper 1611.09482)
+caches each layer's past activation in a ``tf.FIFOQueue`` of depth =
+dilation and runs ONE ``sess.run`` per emitted sample (generate.py ≈:190 —
+a Python->runtime roundtrip per sample). Here the whole loop is a single
+compiled program:
+
+* Per-layer activation queues -> one stacked ring buffer
+  ``[L, max_dilation, B, R]``. Layer l reads and writes slot
+  ``t mod dilation_l``: the value read was written dilation_l steps ago,
+  which is exactly the FIFO dequeue/enqueue semantics.
+* The causal input queue -> a ``[B, kw-1, C_in]`` shift register (kw =
+  initial_filter_width in scalar mode, else filter_width). Unlike the
+  reference (which raises NotImplementedError), scalar-input incremental
+  generation is supported.
+* The per-sample Python loop -> ``lax.scan`` with donated state: zero host
+  roundtrips, state updated in place by XLA.
+* Temperature sampling: ``jax.random.categorical(logits / T)`` draws from
+  softmax(p)^(1/T) — the same distribution as the reference's
+  exp(log(p)/T) renormalization + np.random.choice (generate.py ≈:205),
+  under JAX's counter-based PRNG instead of NumPy's global seed.
+
+Equivalence with the full conv forward (the reference's
+fast-vs-slow keystone, SURVEY §3.5) is asserted in tests/test_generation.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from wavenet_tpu.models.config import WaveNetConfig
+from wavenet_tpu.models.wavenet import Params, embed_gc
+
+
+class SamplerState(NamedTuple):
+    """Carry of the sampling scan (all buffers donated across steps)."""
+    t: jnp.ndarray            # [] int32 — global step (ring-buffer clock)
+    causal_buf: jnp.ndarray   # [B, kw-1, C_in] — last kw-1 raw inputs
+    layer_bufs: jnp.ndarray   # [L, max_dilation, B, R] — past residual acts
+
+
+def _input_kernel_width(config: WaveNetConfig) -> int:
+    return (config.initial_filter_width if config.scalar_input
+            else config.filter_width)
+
+
+def init_sampler_state(config: WaveNetConfig, batch_size: int) -> SamplerState:
+    """All-zero queues (reference ``init_ops`` enqueue zeros, ≈:515-535)."""
+    c = config
+    kw = _input_kernel_width(c)
+    max_d = max(c.dilations)
+    return SamplerState(
+        t=jnp.zeros((), jnp.int32),
+        causal_buf=jnp.zeros((batch_size, kw - 1, c.input_channels),
+                             jnp.float32),
+        layer_bufs=jnp.zeros(
+            (c.num_layers, max_d, batch_size, c.residual_channels),
+            jnp.float32),
+    )
+
+
+def sampler_step(params: Params, config: WaveNetConfig, state: SamplerState,
+                 x: jnp.ndarray,
+                 gc_embedding: Optional[jnp.ndarray] = None):
+    """One incremental network evaluation.
+
+    ``x``: current input features [B, C_in] (one-hot mu-law, or amplitude
+    [B, 1] in scalar mode). Returns (new_state, logits [B, Q]).
+
+    Mirrors the reference's ``_generator_dilation_layer`` math
+    (model.py ≈:365-430): every conv collapses to matmuls on the current
+    and queued activations.
+    """
+    c = config
+    if c.filter_width != 2:
+        raise NotImplementedError(
+            "Incremental generation only implemented for filter_width=2 "
+            "(the reference has the same restriction, model.py ≈:652).")
+
+    # Causal layer: full kw-tap conv over [shift-register | current input].
+    window = jnp.concatenate([state.causal_buf, x[:, None, :]], axis=1)
+    # [B, kw, C_in] x [kw, C_in, R] -> [B, R]
+    current = jnp.einsum("bkc,kcr->br", window, params["causal_filter"],
+                         precision=lax.Precision.HIGHEST)
+    new_causal_buf = window[:, 1:, :]
+
+    t = state.t
+    layer_bufs = state.layer_bufs
+    skip_sum = None
+    for i, dilation in enumerate(c.dilations):
+        pos = lax.rem(t, jnp.int32(dilation))
+        past = lax.dynamic_slice(
+            layer_bufs, (i, pos, 0, 0),
+            (1, 1, current.shape[0], c.residual_channels))[0, 0]  # [B, R]
+        # Enqueue the layer's input at the slot we just read (it becomes
+        # the dequeued value dilation steps from now).
+        layer_bufs = lax.dynamic_update_slice(
+            layer_bufs, current[None, None], (i, pos, 0, 0))
+
+        w_f, w_g = params["filter"][i], params["gate"][i]  # [2, R, D]
+        conv_f = (past @ w_f[0] + current @ w_f[1])
+        conv_g = (past @ w_g[0] + current @ w_g[1])
+        if gc_embedding is not None:
+            conv_f = conv_f + gc_embedding @ params["gc_filter"][i]
+            conv_g = conv_g + gc_embedding @ params["gc_gate"][i]
+        if c.use_biases:
+            conv_f = conv_f + params["filter_bias"][i]
+            conv_g = conv_g + params["gate_bias"][i]
+        out = jnp.tanh(conv_f) * jax.nn.sigmoid(conv_g)
+
+        transformed = out @ params["dense"][i]
+        skip_c = out @ params["skip"][i]
+        if c.use_biases:
+            transformed = transformed + params["dense_bias"][i]
+            skip_c = skip_c + params["skip_bias"][i]
+        skip_sum = skip_c if skip_sum is None else skip_sum + skip_c
+        current = current + transformed
+
+    h = jax.nn.relu(skip_sum)
+    h = h @ params["postprocess1"]
+    if c.use_biases:
+        h = h + params["postprocess1_bias"]
+    h = jax.nn.relu(h)
+    h = h @ params["postprocess2"]
+    if c.use_biases:
+        h = h + params["postprocess2_bias"]
+
+    new_state = SamplerState(t=t + 1, causal_buf=new_causal_buf,
+                             layer_bufs=layer_bufs)
+    return new_state, h.astype(jnp.float32)
+
+
+def _featurize(code_or_amp: jnp.ndarray, config: WaveNetConfig) -> jnp.ndarray:
+    if config.scalar_input:
+        return code_or_amp[..., None].astype(jnp.float32)  # [B] -> [B, 1]
+    return jax.nn.one_hot(code_or_amp, config.quantization_channels,
+                          dtype=jnp.float32)
+
+
+def prime_state(params: Params, config: WaveNetConfig, state: SamplerState,
+                waveform: jnp.ndarray,
+                gc_embedding: Optional[jnp.ndarray] = None) -> SamplerState:
+    """Push a seed waveform through the queues without sampling.
+
+    ``waveform``: [B, T_seed] int codes (or float amplitudes in scalar
+    mode). Equivalent to the reference's seed-priming loop
+    (generate.py ≈:180: run next_sample+push_ops per seed sample, discard
+    predictions).
+    """
+    def body(st, x_t):
+        st, _ = sampler_step(params, config, st, _featurize(x_t, config),
+                             gc_embedding)
+        return st, None
+
+    state, _ = lax.scan(body, state, jnp.moveaxis(waveform, 1, 0))
+    return state
+
+
+@partial(jax.jit, static_argnames=("config", "n_samples"),
+         donate_argnames=("state",))
+def generate_codes(params: Params, config: WaveNetConfig,
+                   state: SamplerState, first_input: jnp.ndarray,
+                   n_samples: int, key: jax.Array,
+                   temperature: float = 1.0,
+                   gc_embedding: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Sample ``n_samples`` mu-law codes autoregressively. Returns [B, n].
+
+    The entire loop is one XLA program: state is donated, logits never
+    leave the device (contrast: reference generate.py ≈:190 does one
+    sess.run per sample).
+    """
+    keys = jax.random.split(key, n_samples)
+
+    def body(carry, key_t):
+        st, x = carry
+        st, logits = sampler_step(params, config, st, x, gc_embedding)
+        code = jax.random.categorical(key_t, logits / temperature, axis=-1)
+        return (st, _featurize(code, config)), code
+
+    (_, _), codes = lax.scan(body, (state, first_input), keys)
+    return jnp.moveaxis(codes, 0, 1)
+
+
+def generate(params: Params, config: WaveNetConfig, n_samples: int,
+             key: jax.Array, batch_size: int = 1,
+             gc_ids: Optional[jnp.ndarray] = None,
+             temperature: float = 1.0,
+             seed_codes: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """End-to-end generation -> mu-law codes [B, n_samples].
+
+    Without a seed, the queues are primed with receptive_field-1 silence
+    codes (Q//2 — mu-law code of amplitude ~0) followed by one random
+    sample, matching the reference's unseeded start (generate.py ≈:170).
+    """
+    c = config
+    if c.scalar_input:
+        raise NotImplementedError(
+            "generate() drives the mu-law code path; scalar-input "
+            "generation uses generate_codes with amplitude inputs.")
+    state = init_sampler_state(c, batch_size)
+    gc_emb = embed_gc(params, c, gc_ids) if gc_ids is not None else None
+
+    key_first, key_gen = jax.random.split(key)
+    if seed_codes is None:
+        silence = jnp.full((batch_size, c.receptive_field - 1),
+                           c.quantization_channels // 2, jnp.int32)
+        state = prime_state(params, c, state, silence, gc_emb)
+        first = jax.random.randint(key_first, (batch_size,), 0,
+                                   c.quantization_channels)
+    else:
+        state = prime_state(params, c, state, seed_codes[:, :-1], gc_emb)
+        first = seed_codes[:, -1]
+
+    return generate_codes(params, c, state, _featurize(first, c),
+                          n_samples, key_gen, temperature, gc_emb)

@@ -1,0 +1,164 @@
+"""Training loop building blocks: jit'd train step, checkpointing, metrics.
+
+Replaces the reference's session-driven loop (reference: train.py ≈:210-320:
+``sess.run([summaries, loss, optim])`` per step, ``tf.train.Saver``
+checkpoints). Here a step is one compiled XLA program with donated state;
+checkpoints go through orbax with step-numbered directories.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import re
+import time
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from wavenet_tpu.models.config import WaveNetConfig
+from wavenet_tpu.models.wavenet import Params, init_params, loss_fn
+from wavenet_tpu.ops.optimizers import optimizer_factory
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    """Params + optimizer state + step counter (a pytree)."""
+    step: jnp.ndarray
+    params: Params
+    opt_state: Any
+
+
+def create_train_state(key: jax.Array, config: WaveNetConfig,
+                       optimizer: optax.GradientTransformation) -> TrainState:
+    params = init_params(key, config)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=optimizer.init(params))
+
+
+def make_optimizer(name: str, learning_rate: float,
+                   momentum: float = 0.9) -> optax.GradientTransformation:
+    """Reference optimizer_factory lookup (ops.py ≈:20)."""
+    try:
+        factory = optimizer_factory[name]
+    except KeyError:
+        raise ValueError(f"Unknown optimizer '{name}'. "
+                         f"Choose from {sorted(optimizer_factory)}.")
+    return factory(learning_rate, momentum)
+
+
+def make_train_step(config: WaveNetConfig,
+                    optimizer: optax.GradientTransformation,
+                    l2_regularization_strength: Optional[float] = None):
+    """Build the jit'd (state, audio[, gc_ids]) -> (state, metrics) step.
+
+    The grad/update/apply chain is the whole program: one device dispatch
+    per step, state donated (no reallocation), metrics returned as small
+    scalars (reference printed loss per step, train.py ≈:305).
+    """
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, audio: jnp.ndarray,
+                   gc_ids: Optional[jnp.ndarray] = None
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, config, audio, gc_ids,
+            l2_regularization_strength)
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": total, **aux,
+                   "grad_norm": optax.global_norm(grads)}
+        return TrainState(step=state.step + 1, params=new_params,
+                          opt_state=new_opt_state), metrics
+
+    return train_step
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (orbax) — reference train.py save()/load() ≈:150-170
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(directory: str, state: TrainState) -> None:
+    """Write logdir/ckpt-<step>/ (reference wrote model.ckpt-STEP)."""
+    import orbax.checkpoint as ocp
+
+    step = int(jax.device_get(state.step))
+    path = os.path.join(os.path.abspath(directory), f"ckpt-{step}")
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, {"step": step,
+                          "params": jax.device_get(state.params),
+                          "opt_state": jax.device_get(state.opt_state)},
+                   force=True)
+
+
+def latest_checkpoint_step(directory: str) -> Optional[int]:
+    if not os.path.isdir(directory):
+        return None
+    steps = [int(m.group(1)) for name in os.listdir(directory)
+             if (m := re.fullmatch(r"ckpt-(\d+)", name))]
+    return max(steps) if steps else None
+
+
+def restore_checkpoint(directory: str, state: TrainState,
+                       step: Optional[int] = None) -> Optional[TrainState]:
+    """Restore the latest (or given) step; None if no checkpoint exists."""
+    import orbax.checkpoint as ocp
+
+    if step is None:
+        step = latest_checkpoint_step(directory)
+        if step is None:
+            return None
+    path = os.path.join(os.path.abspath(directory), f"ckpt-{step}")
+    template = {"step": 0,
+                "params": jax.device_get(state.params),
+                "opt_state": jax.device_get(state.opt_state)}
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(path, item=template)
+    return TrainState(step=jnp.asarray(restored["step"], jnp.int32),
+                      params=jax.tree.map(jnp.asarray, restored["params"]),
+                      opt_state=jax.tree.map(jnp.asarray,
+                                             restored["opt_state"]))
+
+
+def restore_params_only(directory: str, params_template: Params,
+                        step: Optional[int] = None) -> Optional[Params]:
+    """For generation: restore weights only (the reference's generate.py
+    Saver excluded queue state, ≈:160; sampler state is never checkpointed
+    here either — it's recomputed by priming)."""
+    import orbax.checkpoint as ocp
+
+    if step is None:
+        step = latest_checkpoint_step(directory)
+        if step is None:
+            return None
+    path = os.path.join(os.path.abspath(directory), f"ckpt-{step}")
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(path)
+    return jax.tree.map(jnp.asarray, restored["params"])
+
+
+# ---------------------------------------------------------------------------
+# Step timing / throughput (the reference's "(Y sec/step)" print, ≈:305)
+# ---------------------------------------------------------------------------
+
+class StepTimer:
+    def __init__(self):
+        self._last = time.time()
+
+    def lap(self) -> float:
+        now = time.time()
+        dt = now - self._last
+        self._last = now
+        return dt
+
+
+def audio_seconds_per_second(samples_per_batch: int, sample_rate: int,
+                             sec_per_step: float) -> float:
+    """North-star metric: seconds of audio consumed per wall second."""
+    return (samples_per_batch / sample_rate) / sec_per_step
