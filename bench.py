@@ -1,14 +1,17 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
 Headline metric: autoregressive generation samples/s at batch 1 on the
-'paper' WaveNet (30 layers) — the capability the reference is known for,
-and the one BASELINE.json targets (">=10x the TF1 fast-generation path").
-The TF1 fast path runs one sess.run per sample; measured rates reported by
-users are O(100) samples/s on GPU-class hardware (no published numbers —
-see BASELINE.md), so vs_baseline is computed against 100 samples/s.
+'paper' WaveNet (30 layers) via the fused Pallas VMEM sampler — the
+capability the reference is known for, and the one BASELINE.json targets
+(">=10x the TF1 fast-generation path"). The TF1 fast path runs one
+sess.run per sample; measured rates reported by users are O(100) samples/s
+on GPU-class hardware (no published numbers — see BASELINE.md), so
+vs_baseline is computed against 100 samples/s.
 
-Extra fields on the same line: teacher-forced training throughput in
-audio-seconds/s per chip, and batch-64 generation throughput.
+Extra fields on the same line: batch-8/64 generation, scan-sampler
+generation, and teacher-forced training throughput in audio-seconds/s per
+chip. All timings force a full host readback (checksum) — plain
+block_until_ready does not reliably synchronize through the axon relay.
 """
 
 from __future__ import annotations
@@ -23,7 +26,31 @@ import numpy as np
 TF1_FAST_GEN_SAMPLES_PER_S = 100.0  # documented estimate (BASELINE.md)
 
 
-def bench_generation(batch_size: int, n_samples: int = 2048) -> float:
+def _timed(fn, *, reps=1):
+    """Median wall time of fn() with forced readback."""
+    np.asarray(jax.device_get(fn()))  # warm: compile + first run
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        _ = np.asarray(jax.device_get(out)).sum()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def bench_generation_pallas(batch_size: int, n_samples: int = 16000):
+    from wavenet_tpu.models.config import paper_config
+    from wavenet_tpu.models.wavenet import init_params
+    from wavenet_tpu.kernels.sampler import generate_pallas
+
+    config = paper_config()
+    params = init_params(jax.random.PRNGKey(0), config)
+    dt = _timed(lambda: generate_pallas(params, config, n_samples, seed=2,
+                                        batch_size=batch_size), reps=3)
+    return batch_size * n_samples / dt
+
+
+def bench_generation_scan(batch_size: int, n_samples: int = 16000):
     from wavenet_tpu.models.config import paper_config
     from wavenet_tpu.models.wavenet import init_params
     from wavenet_tpu.sample import (
@@ -40,16 +67,11 @@ def bench_generation(batch_size: int, n_samples: int = 2048) -> float:
         return generate_codes(params, config, state,
                               _featurize(first, config), n_samples, key)
 
-    codes = run()  # compile + warm
-    jax.block_until_ready(codes)
-    t0 = time.perf_counter()
-    codes = run()
-    jax.block_until_ready(codes)
-    dt = time.perf_counter() - t0
+    dt = _timed(run, reps=1)
     return batch_size * n_samples / dt
 
 
-def bench_training(batch_size: int = 2, sample_size: int = 16000) -> float:
+def bench_training(batch_size: int = 2, sample_size: int = 16000):
     from wavenet_tpu.models.config import paper_config
     from wavenet_tpu.train_lib import (
         create_train_state, make_optimizer, make_train_step)
@@ -64,20 +86,20 @@ def bench_training(batch_size: int = 2, sample_size: int = 16000) -> float:
         -1, 1, (batch_size, T)).astype(np.float32))
 
     state, metrics = train_step(state, audio)  # compile + warm
-    jax.block_until_ready(metrics)
+    _ = float(jax.device_get(metrics["loss"]))
     n_steps = 10
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = train_step(state, audio)
-    jax.block_until_ready(metrics)
+    _ = float(jax.device_get(metrics["loss"]))  # sync through the relay
     dt = (time.perf_counter() - t0) / n_steps
-    # Audio-seconds consumed per step = predicted samples / sample_rate.
     return batch_size * sample_size / config.sample_rate / dt
 
 
 def main():
-    gen_b1 = bench_generation(1)
-    gen_b64 = bench_generation(64)
+    gen_b1 = bench_generation_pallas(1)
+    gen_b8 = bench_generation_pallas(8)
+    gen_b64_scan = bench_generation_scan(64, n_samples=4000)
     train_aps = bench_training()
     print(json.dumps({
         "metric": "gen_samples_per_s_b1_paper",
@@ -85,8 +107,10 @@ def main():
         "unit": "samples/s",
         "vs_baseline": round(gen_b1 / TF1_FAST_GEN_SAMPLES_PER_S, 2),
         "extra": {
-            "gen_samples_per_s_b64": round(gen_b64, 2),
+            "gen_samples_per_s_b8_pallas": round(gen_b8, 2),
+            "gen_samples_per_s_b64_scan": round(gen_b64_scan, 2),
             "train_audio_sec_per_s_per_chip": round(train_aps, 3),
+            "realtime_factor_b1_16khz": round(gen_b1 / 16000.0, 2),
             "device": str(jax.devices()[0]),
             "config": "paper (30 layers, 32 res / 512 skip, Q=256)",
         },

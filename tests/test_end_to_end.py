@@ -1,0 +1,114 @@
+"""End-to-end training test on synthesized sine waves.
+
+Reference: test/test_model.py (SURVEY §4) — make_sine_waves() at 2 kHz from
+three sinusoids, train, assert the loss drops; with GC, each "speaker" gets
+one frequency and generation must reproduce THAT speaker's frequency.
+Scaled down for CI speed: fewer steps, small network, loss-drop assertions
+plus an FFT spectrum check on generated audio for the GC case.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wavenet_tpu.audio import mu_law_decode_np
+from wavenet_tpu.models.config import WaveNetConfig
+from wavenet_tpu.sample import generate
+from wavenet_tpu.train_lib import (
+    create_train_state, make_optimizer, make_train_step)
+
+SAMPLE_RATE_HZ = 2000.0
+NOTES_HZ = (155.56, 196.00, 233.08)  # Eb3, G3, Bb3 (reference test notes)
+
+
+def make_sine_waves(gc_enabled: bool, n_seconds: float = 0.5,
+                    batch: int = 3):
+    """Synthesized audio like the reference's make_sine_waves."""
+    t = np.arange(int(SAMPLE_RATE_HZ * n_seconds)) / SAMPLE_RATE_HZ
+    if gc_enabled:
+        audio = np.stack(
+            [0.6 * np.sin(2 * np.pi * f * t) for f in NOTES_HZ])
+        ids = np.arange(len(NOTES_HZ), dtype=np.int32)
+        return audio.astype(np.float32), ids
+    mixed = sum(0.3 * np.sin(2 * np.pi * f * t) for f in NOTES_HZ)
+    return np.tile(mixed.astype(np.float32), (batch, 1)), None
+
+
+def small_cfg(**kw):
+    d = dict(dilations=(1, 2, 4, 8, 16, 32, 64, 128),
+             residual_channels=16, dilation_channels=16, skip_channels=32,
+             quantization_channels=128, use_biases=True)
+    d.update(kw)
+    return WaveNetConfig(**d)
+
+
+def train(cfg, audio, ids, n_steps, lr=2e-3, optimizer_name="adam"):
+    optimizer = make_optimizer(optimizer_name, lr)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, optimizer)
+    step_fn = make_train_step(cfg, optimizer, None)
+    audio = jnp.asarray(audio)
+    ids = None if ids is None else jnp.asarray(ids)
+    first = None
+    for i in range(n_steps):
+        state, metrics = step_fn(state, audio, ids)
+        if first is None:
+            first = float(jax.device_get(metrics["loss"]))
+    last = float(jax.device_get(metrics["loss"]))
+    return state, first, last
+
+
+@pytest.mark.slow
+def test_end_to_end_training_loss_drops():
+    cfg = small_cfg()
+    audio, _ = make_sine_waves(False)
+    _, first, last = train(cfg, audio, None, n_steps=120)
+    # Reference asserts cross-entropy < threshold after training; at this
+    # scale the signal is a big drop from the ~ln(128)=4.85 start.
+    assert first > 4.0
+    assert last < first * 0.55, (first, last)
+
+
+@pytest.mark.slow
+def test_end_to_end_training_rmsprop():
+    cfg = small_cfg()
+    audio, _ = make_sine_waves(False)
+    _, first, last = train(cfg, audio, None, n_steps=80, lr=1e-3,
+                           optimizer_name="rmsprop")
+    assert last < first * 0.75, (first, last)
+
+
+@pytest.mark.slow
+def test_end_to_end_scalar_input():
+    cfg = small_cfg(scalar_input=True, initial_filter_width=16)
+    audio, _ = make_sine_waves(False)
+    _, first, last = train(cfg, audio, None, n_steps=120)
+    assert last < first * 0.6, (first, last)
+
+
+@pytest.mark.slow
+def test_end_to_end_gc_steers_generation():
+    # Train on 3 "speakers", one pure tone each; generating with a given
+    # gc_id must produce that speaker's frequency (the reference's
+    # TestNetWithGlobalConditioning check).
+    cfg = small_cfg(gc_channels=16, gc_cardinality=3)
+    audio, ids = make_sine_waves(True, n_seconds=1.0)
+    state, first, last = train(cfg, audio, ids, n_steps=600, lr=4e-3)
+    assert last < first * 0.5, (first, last)
+
+    n_gen = 1000
+    codes = generate(state.params, cfg, n_gen, jax.random.PRNGKey(42),
+                     batch_size=3, gc_ids=jnp.asarray([0, 1, 2]),
+                     temperature=0.3)
+    wave = mu_law_decode_np(np.asarray(codes), cfg.quantization_channels)
+
+    for i, expected_f in enumerate(NOTES_HZ):
+        # Skip the burn-in transient after silence priming.
+        w = wave[i, 200:] - wave[i, 200:].mean()
+        spectrum = np.abs(np.fft.rfft(w))
+        freqs = np.fft.rfftfreq(len(w), d=1.0 / SAMPLE_RATE_HZ)
+        # Ignore DC/very low frequencies.
+        mask = freqs > 50
+        peak_f = freqs[mask][np.argmax(spectrum[mask])]
+        assert abs(peak_f - expected_f) < 25.0, (
+            f"speaker {i}: expected ~{expected_f} Hz, got {peak_f} Hz")

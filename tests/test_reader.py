@@ -1,0 +1,122 @@
+"""Data pipeline tests (reference: audio_reader.py semantics, SURVEY §3.4)."""
+
+import os
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+from wavenet_tpu.audio import read_wav, trim_silence, write_wav
+from wavenet_tpu.data.reader import (
+    AudioReader, find_files, get_category_cardinality, not_all_have_id,
+    parse_speaker_id, randomize_files)
+
+
+@pytest.fixture
+def corpus(tmp_path):
+    sr = 4000
+    rng = np.random.RandomState(0)
+    for spk in (3, 7):
+        for utt in range(2):
+            t = np.arange(sr) / sr  # 1 second
+            x = 0.5 * np.sin(2 * np.pi * (100 + 50 * spk) * t)
+            wavfile.write(str(tmp_path / f"p{spk}_{utt:03d}.wav"), sr,
+                          (x * 32767).astype(np.int16))
+    return str(tmp_path)
+
+
+def test_find_files_and_ids(corpus):
+    files = find_files(corpus)
+    assert len(files) == 4
+    assert parse_speaker_id(os.path.basename(files[0])) == 3
+    min_id, max_id = get_category_cardinality(files)
+    assert (min_id, max_id) == (3, 7)
+    assert not not_all_have_id(files)
+
+
+def test_randomize_with_replacement(corpus):
+    import random
+    files = find_files(corpus)
+    it = randomize_files(files, random.Random(0))
+    draws = [next(it) for _ in range(50)]
+    # With replacement: 50 draws from 4 files must repeat.
+    assert len(set(draws)) <= 4
+
+
+def test_reader_chunk_shapes_and_overlap(corpus):
+    rf, ss = 32, 100
+    reader = AudioReader(corpus, sample_rate=4000, receptive_field=rf,
+                         sample_size=ss, seed=0)
+    with reader:
+        batch = reader.dequeue(4)
+    assert batch.shape == (4, rf + ss)
+    assert batch.dtype == np.float32
+
+
+def test_reader_gc_lockstep(corpus):
+    reader = AudioReader(corpus, sample_rate=4000, gc_enabled=True,
+                         receptive_field=32, sample_size=100, seed=0)
+    assert reader.gc_category_cardinality == 8  # max speaker id 7 + 1
+    with reader:
+        batch = reader.dequeue(6)
+        ids = reader.dequeue_gc(6)
+    assert ids.shape == (6,)
+    assert set(ids) <= {3, 7}
+
+
+def test_reader_left_pad_is_silence(corpus):
+    # First chunk of any utterance starts with receptive_field zeros.
+    rf = 50
+    reader = AudioReader(corpus, sample_rate=4000, receptive_field=rf,
+                         sample_size=200, num_threads=1, seed=0)
+    with reader:
+        batch = reader.dequeue(1)
+    assert np.all(batch[0, :rf] == 0.0)
+    assert np.any(batch[0, rf:] != 0.0)
+
+
+def test_gc_requires_ids(tmp_path):
+    sr = 4000
+    wavfile.write(str(tmp_path / "noid.wav"), sr,
+                  np.zeros(100, np.int16))
+    with pytest.raises(ValueError, match="speaker id"):
+        AudioReader(str(tmp_path), sample_rate=4000, gc_enabled=True,
+                    receptive_field=8, sample_size=16)
+
+
+def test_trim_silence_keeps_loud_region():
+    sr = 4000
+    silence = np.zeros(sr)
+    loud = 0.5 * np.sin(2 * np.pi * 200 * np.arange(sr) / sr)
+    audio = np.concatenate([silence, loud, silence]).astype(np.float32)
+    trimmed = trim_silence(audio, threshold=0.05)
+    assert len(trimmed) < len(audio)
+    assert len(trimmed) >= len(loud) * 0.8
+    assert np.max(np.abs(trimmed)) >= 0.4
+
+
+def test_trim_silence_all_quiet_returns_empty():
+    audio = (1e-4 * np.random.RandomState(0).randn(5000)).astype(np.float32)
+    assert trim_silence(audio, threshold=0.05).size == 0
+
+
+def test_wav_roundtrip(tmp_path):
+    sr = 8000
+    x = (0.3 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)).astype(
+        np.float32)
+    path = str(tmp_path / "t.wav")
+    write_wav(path, x, sr)
+    back, got_sr = read_wav(path)
+    assert got_sr == sr
+    np.testing.assert_allclose(back, x, atol=1e-3)
+
+
+def test_read_wav_resamples(tmp_path):
+    sr_in, sr_out = 8000, 4000
+    x = (0.3 * np.sin(2 * np.pi * 200 * np.arange(sr_in) / sr_in)).astype(
+        np.float32)
+    path = str(tmp_path / "r.wav")
+    write_wav(path, x, sr_in)
+    back, got_sr = read_wav(path, sample_rate=sr_out)
+    assert got_sr == sr_out
+    assert abs(len(back) - sr_out) <= 1

@@ -44,6 +44,11 @@ def get_arguments(argv=None):
     parser.add_argument("--save_every", type=int, default=SAVE_EVERY,
                         help="Write the partial wav every n samples.")
     parser.add_argument("--fast_generation", type=_str_to_bool, default=True)
+    parser.add_argument("--sampler", type=str, default="auto",
+                        choices=["auto", "pallas", "scan"],
+                        help="Fast-path implementation: the fused Pallas "
+                             "VMEM kernel, the lax.scan sampler, or auto "
+                             "(pallas when the working set fits VMEM).")
     parser.add_argument("--wav_seed", type=str, default=None)
     parser.add_argument("--batch_size", type=int, default=1,
                         help="Generate this many waveforms at once "
@@ -123,10 +128,7 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed if args.seed is not None else 0)
 
     if args.fast_generation:
-        codes = generate(params, config, args.samples, key,
-                         batch_size=args.batch_size, gc_ids=gc_ids,
-                         temperature=args.temperature,
-                         seed_codes=seed_codes)
+        codes = _generate_fast(params, config, args, key, gc_ids, seed_codes)
     else:
         # Slow path: full conv forward on the trailing receptive-field
         # window per sample (reference predict_proba loop, ≈:217).
@@ -149,6 +151,32 @@ def main(argv=None):
                 print(f"Updated wav file at {path}")
     print("Finished generating.")
     return 0
+
+
+def _generate_fast(params, config, args, key, gc_ids, seed_codes):
+    """Pick the fused Pallas VMEM kernel when it fits, else the scan path."""
+    from wavenet_tpu.kernels.sampler import (
+        generate_pallas, sampler_vmem_bytes)
+    from wavenet_tpu.sample import generate
+
+    use_pallas = args.sampler == "pallas"
+    if args.sampler == "auto":
+        fits = sampler_vmem_bytes(config, args.batch_size,
+                                  args.samples) < 12 * 1024 * 1024
+        use_pallas = (fits and config.filter_width == 2
+                      and not config.scalar_input
+                      and jax.devices()[0].platform != "cpu")
+    if use_pallas:
+        print("Using fused Pallas sampler.")
+        return generate_pallas(
+            params, config, args.samples,
+            seed=args.seed if args.seed is not None else 0,
+            batch_size=args.batch_size, gc_ids=gc_ids,
+            temperature=args.temperature, seed_codes=seed_codes)
+    print("Using lax.scan sampler.")
+    return generate(params, config, args.samples, key,
+                    batch_size=args.batch_size, gc_ids=gc_ids,
+                    temperature=args.temperature, seed_codes=seed_codes)
 
 
 def _generate_slow(params, config, args, key, gc_ids, seed_codes):

@@ -1,0 +1,335 @@
+"""Pallas TPU kernel: whole-network autoregressive sampler in VMEM.
+
+The reference's fast-generation path pays one Python->TF-runtime dispatch
+per emitted sample (reference: generate.py ≈:190, model.py
+``_create_generator`` ≈:505-575 with per-layer tf.FIFOQueues). The
+lax.scan sampler (wavenet_tpu/sample.py) already collapses that to one
+device program; this kernel goes the rest of the way to speed-of-light:
+
+* ALL weights live in VMEM for the whole generation run (paper config
+  ~5 MB fp32 — fits the ~16 MB budget with room for state).
+* The per-layer activation queues are ONE offset-packed VMEM ring buffer
+  of shape [sum(dilations), B, R]; layer l owns rows
+  [offset_l, offset_l + dilation_l) and reads/writes row
+  offset_l + (t mod dilation_l) — FIFO semantics with zero data movement.
+* filter+gate are fused into a single [B, 2R] x [2R, 2D] matmul per layer
+  (taps concatenated on the K axis, filter|gate concatenated on N);
+  dense+skip fuse into one [B, D] x [D, R+S] matmul.
+* Per-layer bias + global-condition contributions are folded into ONE
+  precomputed additive term outside the kernel (they are constant across
+  timesteps), so the kernel's inner loop is purely matmul+gate.
+* Sampling happens in-kernel with the TPU PRNG: Gumbel-argmax over
+  logits/T. No logits ever leave the chip; only int32 codes do.
+
+Mosaic layout notes: every tensor value inside the kernel is kept >= 2-D
+(1-D vectors trip TPU layout inference), so the autoregressive "current
+code" travels as [B, 1] and the forced/emitted code streams are laid out
+[B, n_total] (batch-major).
+
+The grid is 1 — a single program owns the chip and loops over samples with
+``lax.fori_loop``. Teacher-forcing mode (seed_codes) runs the same loop
+over given inputs to prime the queues, and is also what the parity tests
+drive (the emitted logits must match the scan sampler / conv forward).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from wavenet_tpu.models.config import WaveNetConfig
+from wavenet_tpu.models.wavenet import Params, embed_gc
+
+
+class PackedSampler(NamedTuple):
+    """Kernel-ready weight layout (all fp32, every leaf >= 2-D)."""
+    causal_w: jnp.ndarray      # [kw * C_in, R]  (taps stacked on K axis)
+    layer_w: jnp.ndarray       # [L, 2R, 2D]     (K = past|current, N = filt|gate)
+    layer_add: jnp.ndarray     # [L, B, 2D]      (bias + gc, broadcast-ready)
+    proj_w: jnp.ndarray        # [L, D, R + S]   (N = dense|skip)
+    proj_add: jnp.ndarray      # [L, 1, R + S]   (dense_bias | skip_bias)
+    post1_w: jnp.ndarray       # [S, S]
+    post1_b: jnp.ndarray       # [1, S]
+    post2_w: jnp.ndarray       # [S, Q]
+    post2_b: jnp.ndarray       # [1, Q]
+    # NOTE: no static metadata here — PackedSampler crosses jit boundaries
+    # as a pytree, so int fields would turn into traced scalars (which a
+    # pallas kernel closure must not capture). Ring offsets are derived
+    # from the STATIC config via `ring_offsets`.
+
+
+def pack_sampler_weights(params: Params, config: WaveNetConfig,
+                         batch_size: int,
+                         gc_embedding: Optional[jnp.ndarray] = None
+                         ) -> PackedSampler:
+    """Rearrange the model pytree into the kernel's fused layout."""
+    c = config
+    L, R, D, S, Q = (c.num_layers, c.residual_channels, c.dilation_channels,
+                     c.skip_channels, c.quantization_channels)
+    f32 = jnp.float32
+
+    # Causal layer: [kw, C_in, R] -> [kw*C_in, R]; input window flattens
+    # to [B, kw*C_in] in the same order.
+    cw = params["causal_filter"].astype(f32)
+    causal_w = cw.reshape(-1, R)
+
+    # [L, 2, R, D] filter & gate -> [L, 2R, 2D].
+    wf, wg = params["filter"].astype(f32), params["gate"].astype(f32)
+    # K axis order: [past (tap 0) | current (tap 1)].
+    layer_w = jnp.concatenate([
+        jnp.concatenate([wf[:, 0], wg[:, 0]], axis=-1),   # past rows
+        jnp.concatenate([wf[:, 1], wg[:, 1]], axis=-1),   # current rows
+    ], axis=1)  # [L, 2R, 2D]
+
+    add = jnp.zeros((L, batch_size, 2 * D), f32)
+    if c.use_biases:
+        b = jnp.concatenate([params["filter_bias"], params["gate_bias"]],
+                            axis=-1).astype(f32)  # [L, 2D]
+        add = add + b[:, None, :]
+    if gc_embedding is not None:
+        gcf = jnp.einsum("bg,lgd->lbd", gc_embedding.astype(f32),
+                         params["gc_filter"].astype(f32))
+        gcg = jnp.einsum("bg,lgd->lbd", gc_embedding.astype(f32),
+                         params["gc_gate"].astype(f32))
+        add = add + jnp.concatenate([gcf, gcg], axis=-1)
+
+    proj_w = jnp.concatenate([params["dense"].astype(f32),
+                              params["skip"].astype(f32)], axis=-1)
+    if c.use_biases:
+        proj_add = jnp.concatenate(
+            [params["dense_bias"], params["skip_bias"]],
+            axis=-1).astype(f32)[:, None, :]
+        post1_b = params["postprocess1_bias"].astype(f32)[None, :]
+        post2_b = params["postprocess2_bias"].astype(f32)[None, :]
+    else:
+        proj_add = jnp.zeros((L, 1, R + S), f32)
+        post1_b = jnp.zeros((1, S), f32)
+        post2_b = jnp.zeros((1, Q), f32)
+
+    return PackedSampler(
+        causal_w=causal_w, layer_w=layer_w, layer_add=add,
+        proj_w=proj_w, proj_add=proj_add,
+        post1_w=params["postprocess1"].astype(f32), post1_b=post1_b,
+        post2_w=params["postprocess2"].astype(f32), post2_b=post2_b)
+
+
+def ring_offsets(config: WaveNetConfig) -> Tuple[int, ...]:
+    """Static per-layer start rows in the packed ring buffer."""
+    return tuple(int(o) for o in np.cumsum((0,) + config.dilations[:-1]))
+
+
+def _sampler_kernel(
+    # scalar prefetch
+    seed_ref,            # [1] int32
+    # inputs
+    causal_w_ref, layer_w_ref, layer_add_ref, proj_w_ref, proj_add_ref,
+    post1_w_ref, post1_b_ref, post2_w_ref, post2_b_ref,
+    forced_ref,          # [n_total, B] int32, TIME-MAJOR: Mosaic only
+                         #  allows dynamic slicing on sublane/batch dims,
+                         #  so the dynamic time index must not be on lanes
+    # outputs
+    codes_ref,           # [n_total, B] int32 (time-major, same reason)
+    logits_ref,          # [n_total | 1, B, Q] f32
+    # scratch
+    ring_ref,            # [sum_d, B, R] f32
+    causal_buf_ref,      # [B, C_in] f32 (previous input, kw=2)
+    *,
+    config: WaveNetConfig, offsets: Tuple[int, ...], n_total: int,
+    n_forced: int, batch_size: int, inv_temperature: float,
+):
+    c = config
+    L, R, D, S, Q = (c.num_layers, c.residual_channels, c.dilation_channels,
+                     c.skip_channels, c.quantization_channels)
+    B = batch_size
+    C_in = c.input_channels
+
+    pltpu.prng_seed(seed_ref[0])
+
+    ring_ref[...] = jnp.zeros_like(ring_ref)
+    causal_buf_ref[...] = jnp.zeros_like(causal_buf_ref)
+
+    def one_hot(code_col):  # [B, 1] int32 -> [B, C_in] f32
+        iota = lax.broadcasted_iota(jnp.int32, (B, C_in), 1)
+        return (iota == code_col).astype(jnp.float32)
+
+    def step(t, x_col):
+        """x_col [B, 1] int32 -> logits [B, Q], updating all queues."""
+        x = one_hot(x_col)
+        # Causal layer: window = [prev | current] flattened on K.
+        prev = causal_buf_ref[...]
+        window = jnp.concatenate([prev, x], axis=-1)  # [B, kw*C_in]
+        current = jnp.dot(window, causal_w_ref[...],
+                          preferred_element_type=jnp.float32)  # [B, R]
+        causal_buf_ref[...] = x
+
+        skip_sum = jnp.zeros((B, S), jnp.float32)
+        for i, dilation in enumerate(c.dilations):
+            pos = offsets[i] + t % dilation
+            past = ring_ref[pos]  # [B, R]
+            ring_ref[pos] = current
+            x_cat = jnp.concatenate([past, current], axis=-1)  # [B, 2R]
+            fg = jnp.dot(x_cat, layer_w_ref[i],
+                         preferred_element_type=jnp.float32)
+            fg = fg + layer_add_ref[i]
+            out = jnp.tanh(fg[:, :D]) * jax.nn.sigmoid(fg[:, D:])
+            ds = jnp.dot(out, proj_w_ref[i],
+                         preferred_element_type=jnp.float32)
+            ds = ds + proj_add_ref[i]
+            current = current + ds[:, :R]
+            skip_sum = skip_sum + ds[:, R:]
+
+        h = jnp.maximum(skip_sum, 0.0)
+        h = jnp.dot(h, post1_w_ref[...],
+                    preferred_element_type=jnp.float32) + post1_b_ref[...]
+        h = jnp.maximum(h, 0.0)
+        h = jnp.dot(h, post2_w_ref[...],
+                    preferred_element_type=jnp.float32) + post2_b_ref[...]
+        return h  # [B, Q]
+
+    def sample_from(logits):
+        """Gumbel-argmax draw [B, 1]: argmax(logits/T + G), G ~ Gumbel."""
+        bits = pltpu.prng_random_bits((B, Q))
+        # uint32 -> uniform (0, 1): set exponent to [1, 2), subtract 1.
+        u = pltpu.bitcast(
+            (pltpu.bitcast(bits, jnp.uint32) >> 9) | 0x3F800000,
+            jnp.float32) - 1.0
+        u = jnp.maximum(u, 1e-20)
+        gumbel = -jnp.log(-jnp.log(u))
+        scores = logits * inv_temperature + gumbel
+        return jnp.argmax(scores, axis=-1, keepdims=True).astype(jnp.int32)
+
+    def body(t, x_col):
+        logits = step(t, x_col)
+        # When logits collection is off the output buffer has one row —
+        # wrap the index so every step writes in-bounds (last write wins).
+        logits_ref[lax.rem(t, logits_ref.shape[0])] = logits
+        sampled = sample_from(logits)  # [B, 1]
+        nxt = jnp.minimum(t + 1, n_total - 1)
+        forced_next = jnp.transpose(forced_ref[pl.ds(nxt, 1), :])  # [B, 1]
+        next_col = jnp.where(t + 1 < n_forced, forced_next, sampled)
+        emitted = jnp.where(t < n_forced - 1, forced_next, sampled)
+        codes_ref[pl.ds(t, 1), :] = jnp.transpose(emitted)  # [1, B]
+        return next_col
+
+    first = jnp.transpose(forced_ref[pl.ds(0, 1), :])  # [B, 1]
+    lax.fori_loop(0, n_total, body, first, unroll=False)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "n_total", "n_forced", "batch_size",
+                     "temperature", "collect_logits"))
+def _run_sampler_kernel(packed: PackedSampler, forced: jnp.ndarray,
+                        seed: jnp.ndarray,
+                        config: WaveNetConfig, n_total: int, n_forced: int,
+                        batch_size: int, temperature: float,
+                        collect_logits: bool):
+    c = config
+    B, Q, R = batch_size, c.quantization_channels, c.residual_channels
+    sum_d = sum(c.dilations)
+    kernel = functools.partial(
+        _sampler_kernel, config=c, offsets=ring_offsets(c),
+        n_total=n_total, n_forced=n_forced, batch_size=B,
+        inv_temperature=1.0 / temperature)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((sum_d, B, R), jnp.float32),
+            pltpu.VMEM((B, c.input_channels), jnp.float32),
+        ],
+    )
+    codes, logits = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_total, B), jnp.int32),
+            jax.ShapeDtypeStruct((n_total if collect_logits else 1, B, Q),
+                                 jnp.float32),
+        ),
+    )(seed, packed.causal_w, packed.layer_w, packed.layer_add,
+      packed.proj_w, packed.proj_add, packed.post1_w, packed.post1_b,
+      packed.post2_w, packed.post2_b, forced)
+    return jnp.transpose(codes), logits
+
+
+def sampler_vmem_bytes(config: WaveNetConfig, batch_size: int,
+                       n_samples: int, collect_logits: bool = False) -> int:
+    """Rough VMEM footprint of the kernel (weights + state + outputs).
+
+    Used to decide pallas-vs-scan automatically: the whole working set must
+    fit the ~16 MB/core VMEM (large batches need the future HBM-resident
+    ring-buffer variant; they fall back to the lax.scan sampler today).
+    """
+    c = config
+    L, R, D, S, Q = (c.num_layers, c.residual_channels, c.dilation_channels,
+                     c.skip_channels, c.quantization_channels)
+    B = batch_size
+    weights = (2 * c.input_channels * R + L * (2 * R * 2 * D + B * 2 * D
+               + D * (R + S) + (R + S)) + S * S + S + S * Q + Q)
+    state = sum(c.dilations) * B * R + B * c.input_channels
+    outputs = n_samples * B + (n_samples if collect_logits else 1) * B * Q
+    return 4 * (weights + state + outputs)
+
+
+def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
+                    seed: int, batch_size: int = 1,
+                    gc_ids: Optional[jnp.ndarray] = None,
+                    temperature: float = 1.0,
+                    seed_codes: Optional[jnp.ndarray] = None,
+                    collect_logits: bool = False,
+                    interpret: bool = False):
+    """Generate mu-law codes [B, n_samples] in a single kernel launch.
+
+    ``seed_codes`` [B, T_seed] teacher-forces the first T_seed steps (queue
+    priming); the remaining n_samples are sampled. Distribution matches the
+    scan sampler (softmax(logits/T)); the PRNG stream differs (TPU
+    hardware PRNG vs jax.random), as documented for seeds.
+    """
+    c = config
+    if c.filter_width != 2:
+        raise NotImplementedError("Pallas sampler requires filter_width=2")
+    if c.scalar_input:
+        raise NotImplementedError("Pallas sampler is mu-law-path only")
+    B = batch_size
+
+    gc_emb = embed_gc(params, c, gc_ids) if gc_ids is not None else None
+    packed = pack_sampler_weights(params, c, B, gc_emb)
+
+    if seed_codes is None:
+        silence = jnp.full((B, 1), c.quantization_channels // 2, jnp.int32)
+        seed_codes = silence
+    n_forced = int(seed_codes.shape[1])
+    n_total = n_forced - 1 + n_samples
+
+    forced = jnp.transpose(seed_codes.astype(jnp.int32))  # [Tf, B]
+    pad = n_total - n_forced
+    if pad > 0:
+        forced = jnp.concatenate(
+            [forced, jnp.zeros((pad, B), jnp.int32)], axis=0)
+    elif pad < 0:
+        forced = forced[:n_total]
+
+    args = (packed, forced, jnp.asarray([seed], jnp.int32), c, n_total,
+            n_forced, B, temperature, collect_logits)
+    if interpret:
+        with pltpu.force_tpu_interpret_mode():
+            codes, logits = _run_sampler_kernel(*args)
+    else:
+        codes, logits = _run_sampler_kernel(*args)
+    # Emitted stream: forced[1:] then sampled — return only the sampled tail.
+    out_codes = codes[:, n_forced - 1:]
+    if collect_logits:
+        return out_codes, jnp.moveaxis(logits, 0, 1)  # [B, n_total, Q]
+    return out_codes
