@@ -71,12 +71,13 @@ def bench_generation_scan(batch_size: int, n_samples: int = 16000):
     return batch_size * n_samples / dt
 
 
-def bench_training(batch_size: int = 2, sample_size: int = 16000):
+def bench_training(batch_size: int = 8, sample_size: int = 16000,
+                   compute_dtype: str = "bfloat16"):
     from wavenet_tpu.models.config import paper_config
     from wavenet_tpu.train_lib import (
         create_train_state, make_optimizer, make_train_step)
 
-    config = paper_config()
+    config = paper_config(compute_dtype=compute_dtype)
     optimizer = make_optimizer("adam", 1e-3)
     state = create_train_state(jax.random.PRNGKey(0), config, optimizer)
     train_step = make_train_step(config, optimizer, None)
@@ -100,7 +101,8 @@ def main():
     gen_b1 = bench_generation_pallas(1)
     gen_b8 = bench_generation_pallas(8)
     gen_b64_scan = bench_generation_scan(64, n_samples=4000)
-    train_aps = bench_training()
+    train_bf16 = bench_training(batch_size=8, compute_dtype="bfloat16")
+    train_fp32 = bench_training(batch_size=2, compute_dtype="float32")
     print(json.dumps({
         "metric": "gen_samples_per_s_b1_paper",
         "value": round(gen_b1, 2),
@@ -109,7 +111,8 @@ def main():
         "extra": {
             "gen_samples_per_s_b8_pallas": round(gen_b8, 2),
             "gen_samples_per_s_b64_scan": round(gen_b64_scan, 2),
-            "train_audio_sec_per_s_per_chip": round(train_aps, 3),
+            "train_audio_sec_per_s_bf16_b8": round(train_bf16, 3),
+            "train_audio_sec_per_s_fp32_b2": round(train_fp32, 3),
             "realtime_factor_b1_16khz": round(gen_b1 / 16000.0, 2),
             "device": str(jax.devices()[0]),
             "config": "paper (30 layers, 32 res / 512 skip, Q=256)",

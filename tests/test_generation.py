@@ -116,3 +116,34 @@ def test_generate_with_seed_matches_teacher_forcing(rng):
     np.testing.assert_allclose(np.asarray(logits_inc),
                                np.asarray(full[:, -1, :]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_scalar_input_incremental_matches_forward(rng):
+    # Scalar-input incremental generation (the reference raises
+    # NotImplementedError here — new capability): teacher-forced stepping
+    # must match the full conv forward.
+    cfg = small_config(scalar_input=True, initial_filter_width=4)
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    T = cfg.receptive_field + 6
+    audio = jnp.asarray(rng.uniform(-1, 1, (2, T)).astype(np.float32))
+
+    state = init_sampler_state(cfg, 2)
+    outs = []
+    for t in range(T):
+        state, logits = sampler_step(params, cfg, state,
+                                     audio[:, t][..., None])
+        outs.append(np.asarray(logits))
+    inc = np.stack(outs, axis=1)
+
+    full = np.asarray(forward(params, cfg, audio[..., None]))
+    np.testing.assert_allclose(inc, full, rtol=1e-4, atol=1e-5)
+
+
+def test_scalar_input_generate_end_to_end():
+    cfg = small_config(scalar_input=True, initial_filter_width=4,
+                       dilations=(1, 2, 4))
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    codes = np.asarray(generate(params, cfg, 30, jax.random.PRNGKey(5),
+                                batch_size=2))
+    assert codes.shape == (2, 30)
+    assert codes.min() >= 0 and codes.max() < cfg.quantization_channels

@@ -168,3 +168,18 @@ def test_bfloat16_compute_close_to_fp32(rng):
     out32 = np.asarray(forward(params, cfg32, net_in))
     assert out16.dtype == np.float32  # logits returned in fp32
     np.testing.assert_allclose(out16, out32, rtol=0.1, atol=0.1)
+
+
+def test_forward_codes_matches_one_hot_forward(rng):
+    # The gather-based integer-code path must equal the one-hot conv path.
+    from wavenet_tpu.models.wavenet import forward_codes
+    cfg = small_config(gc_channels=5, gc_cardinality=3)
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    T = cfg.receptive_field + 9
+    codes = jnp.asarray(rng.randint(0, cfg.quantization_channels, (3, T)))
+    gc_emb = embed_gc(params, cfg, jnp.asarray([0, 1, 2]))
+    via_onehot = forward(params, cfg, one_hot(codes, cfg.quantization_channels),
+                         gc_emb)
+    via_codes = forward_codes(params, cfg, codes, gc_emb)
+    np.testing.assert_allclose(np.asarray(via_codes), np.asarray(via_onehot),
+                               rtol=1e-5, atol=1e-6)

@@ -104,3 +104,19 @@ def test_spec_covers_every_param():
 def test_dryrun_multichip_entry():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_multihost_helpers_single_process_degrade():
+    # On one process these behave exactly like the local path.
+    from wavenet_tpu.parallel.distributed import (
+        global_batch_from_local, initialize_multihost, make_global_mesh)
+    assert initialize_multihost() is False  # no coordinator configured
+    mesh = make_global_mesh(model_parallelism=2)
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+        "data": 4, "model": 2}
+    cfg = cfg_for_tp()
+    audio, gc = make_batch(cfg, batch=8)
+    audio_g, gc_g = global_batch_from_local(audio, mesh, gc)
+    assert audio_g.shape == audio.shape
+    np.testing.assert_array_equal(np.asarray(audio_g), audio)
+    np.testing.assert_array_equal(np.asarray(gc_g), gc)

@@ -69,6 +69,12 @@ def get_arguments(argv=None):
     parser.add_argument("--model_parallelism", type=int, default=1,
                         help="Chips per model replica (TPU-native extension; "
                              "remaining chips go data-parallel).")
+    parser.add_argument("--coordinator_address", type=str, default=None,
+                        help="host:port of process 0 for multi-host "
+                             "training (or set JAX_COORDINATOR_ADDRESS; "
+                             "auto-detected on Cloud TPU pods).")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     parser.add_argument("--compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--seed", type=int, default=None)
@@ -129,8 +135,17 @@ def main(argv=None):
     from wavenet_tpu.data.reader import AudioReader
     from wavenet_tpu.models.config import WaveNetConfig
     from wavenet_tpu.models.wavenet import init_params
+    from wavenet_tpu.parallel.distributed import (
+        global_batch_from_local, initialize_multihost, make_global_mesh)
     from wavenet_tpu.parallel.sharding import (
         make_mesh, shard_batch, shard_train_state)
+
+    multihost = initialize_multihost(args.coordinator_address,
+                                     args.num_processes, args.process_id)
+    if multihost:
+        print(f"Multi-host: process {jax.process_index()} of "
+              f"{jax.process_count()}, {jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices")
     from wavenet_tpu.train_lib import (
         StepTimer, audio_seconds_per_second, create_train_state,
         make_optimizer, make_train_step, restore_checkpoint, save_checkpoint)
@@ -150,7 +165,10 @@ def main(argv=None):
         sample_size=args.sample_size,
         silence_threshold=(args.silence_threshold
                            if args.silence_threshold > 0 else None),
-        seed=args.seed,
+        # Disjoint per-host streams under a fixed seed (sampling with
+        # replacement makes any per-process offset valid).
+        seed=(args.seed + jax.process_index()
+              if args.seed is not None else None),
     )
 
     config = WaveNetConfig.from_json(
@@ -175,7 +193,10 @@ def main(argv=None):
     else:
         print("No checkpoint found; starting new training.")
 
-    mesh = make_mesh(model_parallelism=args.model_parallelism)
+    if multihost:
+        mesh = make_global_mesh(model_parallelism=args.model_parallelism)
+    else:
+        mesh = make_mesh(model_parallelism=args.model_parallelism)
     state = shard_train_state(state, config, mesh)
 
     train_step = make_train_step(config, optimizer,
@@ -191,9 +212,14 @@ def main(argv=None):
     step = saved_global_step
     try:
         for step in range(saved_global_step + 1, args.num_steps + 1):
+            # batch_size is per host (reference semantics on one host);
+            # each process feeds its own disjoint stream.
             audio = reader.dequeue(args.batch_size)
             gc_ids = reader.dequeue_gc(args.batch_size) if gc_enabled else None
-            audio, gc_ids = shard_batch(audio, mesh, gc_ids)
+            if multihost:
+                audio, gc_ids = global_batch_from_local(audio, mesh, gc_ids)
+            else:
+                audio, gc_ids = shard_batch(audio, mesh, gc_ids)
 
             if args.store_metadata and step % 50 == 0:
                 with jax.profiler.trace(os.path.join(logdir, "profile")):

@@ -185,24 +185,45 @@ def forward(params: Params, config: WaveNetConfig,
     causal_w = _maybe_cast(params["causal_filter"], c)
     # Initial causal layer (reference ``_create_causal_layer`` ≈:265).
     current = causal_conv_padded(x, causal_w, dilation=1, precision=precision)
+    return _dilated_stack(params, c, current, gc_embedding, compute_dtype,
+                          precision)
 
+
+def _dilated_stack(params: Params, c: WaveNetConfig, current: jnp.ndarray,
+                   gc_embedding: Optional[jnp.ndarray], compute_dtype,
+                   precision) -> jnp.ndarray:
+    """Gated dilation layers + skip sum + postprocessing head.
+
+    Layer math parity with reference ``_create_dilation_layer``
+    ≈:280-360, with one bandwidth-driven re-association: the per-layer
+    skip projections are DEFERRED. The reference (and a naive port)
+    accumulates ``skip_sum [B,T,S]`` every layer — at S=512 that is a
+    full read+write of the largest tensor in the network x L layers, and
+    it dominates HBM traffic. Since
+
+        sum_l(out_l @ Ws_l) == concat_l(out_l) @ concat_rows(Ws_l),
+
+    we keep each layer's small gate output ``out_l [B,T,D]`` and apply
+    ONE [B·T, L·D] x [L·D, S] matmul at the end — ~L x less skip-path
+    traffic and a K dimension that actually fills the MXU. (A hand-fused
+    [x_shift|x] @ [Wf|Wg] concat variant was measured SLOWER than XLA's
+    own schedule, so taps/filter/gate stay as separate matmuls.)
+    """
     use_biases = c.use_biases
+    L, D, S = c.num_layers, c.dilation_channels, c.skip_channels
     gc = None
     if gc_embedding is not None:
         gc = _maybe_cast(gc_embedding, c)  # [B, G]
 
-    skip_sum = None
+    gate_outs = []
     for i, dilation in enumerate(c.dilations):
-        # Gated unit (reference ``_create_dilation_layer`` ≈:280-360):
-        #   out = tanh(Wf * x [+ gcf + bf]) . sigmoid(Wg * x [+ gcg + bg])
+        # Gated unit: out = tanh(Wf*x [+gc+b]) . sigmoid(Wg*x [+gc+b])
         w_f = _maybe_cast(params["filter"][i], c)
         w_g = _maybe_cast(params["gate"][i], c)
         conv_filter = causal_conv_padded(current, w_f, dilation, precision)
         conv_gate = causal_conv_padded(current, w_g, dilation, precision)
 
         if gc is not None:
-            # [B, G] @ [G, D] -> [B, 1, D], broadcast over time (the
-            # reference's 1x1 conv of the [B, 1, G] embedding, ≈:300).
             gcf = (gc @ _maybe_cast(params["gc_filter"][i], c))[:, None, :]
             gcg = (gc @ _maybe_cast(params["gc_gate"][i], c))[:, None, :]
             conv_filter = conv_filter + gcf
@@ -213,17 +234,22 @@ def forward(params: Params, config: WaveNetConfig,
             conv_gate = conv_gate + _maybe_cast(params["gate_bias"][i], c)
 
         out = jnp.tanh(conv_filter) * jax.nn.sigmoid(conv_gate)
+        gate_outs.append(out)
 
-        # 1x1 residual projection and skip projection (≈:330-355).
         transformed = conv1x1(out, _maybe_cast(params["dense"][i], c), precision)
-        skip_contribution = conv1x1(out, _maybe_cast(params["skip"][i], c), precision)
         if use_biases:
             transformed = transformed + _maybe_cast(params["dense_bias"][i], c)
-            skip_contribution = skip_contribution + _maybe_cast(params["skip_bias"][i], c)
-
-        skip_sum = (skip_contribution if skip_sum is None
-                    else skip_sum + skip_contribution)
         current = current + transformed
+
+    # Deferred skip head: one big matmul over all layers' gate outputs.
+    all_outs = jnp.concatenate(gate_outs, axis=-1)          # [B, T, L*D]
+    w_skip_all = _maybe_cast(
+        params["skip"].reshape(L * D, S), c)                # [L*D, S]
+    skip_sum = jnp.einsum("btc,co->bto", all_outs, w_skip_all,
+                          precision=precision)
+    if use_biases:
+        skip_sum = skip_sum + _maybe_cast(
+            jnp.sum(params["skip_bias"], axis=0), c)
 
     # Postprocessing head (reference ≈:480-500).
     h = jax.nn.relu(skip_sum)
@@ -237,6 +263,38 @@ def forward(params: Params, config: WaveNetConfig,
     return h.astype(jnp.float32)
 
 
+def forward_codes(params: Params, config: WaveNetConfig,
+                  codes: jnp.ndarray,
+                  gc_embedding: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Forward pass from integer mu-law codes [B, T] (no one-hot tensor).
+
+    The initial causal conv applied to one-hot input is algebraically a
+    row-gather of the filter: out[t] = W[0][code[t-1]] + W[1][code[t]]
+    (zero contribution for t-1 < 0). Skipping the [B, T, Q] one-hot saves
+    ~Q x the input bandwidth — the dominant HBM traffic at batch size > 1.
+    Identical numerics to forward(one_hot(codes)) (tested).
+    """
+    c = config
+    if c.scalar_input:
+        raise ValueError("forward_codes is the mu-law path; scalar input "
+                         "uses forward() on raw amplitudes.")
+    compute_dtype = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
+    precision = (lax.Precision.DEFAULT if c.compute_dtype == "bfloat16"
+                 else lax.Precision.HIGHEST)
+
+    w = params["causal_filter"]  # [fw, Q, R]
+    fw = w.shape[0]
+    T = codes.shape[1]
+    current = jnp.take(w[fw - 1], codes, axis=0)  # [B, T, R]
+    for k in range(fw - 1):
+        shift = fw - 1 - k
+        tap = jnp.take(w[k], codes[:, :T - shift], axis=0)
+        current = current.at[:, shift:, :].add(tap)
+    current = current.astype(compute_dtype)
+    return _dilated_stack(params, c, current, gc_embedding, compute_dtype,
+                          precision)
+
+
 def predict_proba(params: Params, config: WaveNetConfig,
                   waveform: jnp.ndarray,
                   gc_ids: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -247,12 +305,12 @@ def predict_proba(params: Params, config: WaveNetConfig,
     with reference ``predict_proba`` ≈:630, which runs the full network on
     the window and softmaxes the last output position).
     """
+    gc_emb = embed_gc(params, config, gc_ids) if gc_ids is not None else None
     if config.scalar_input:
         net_in = waveform[..., None].astype(jnp.float32)
+        logits = forward(params, config, net_in, gc_emb)
     else:
-        net_in = one_hot(waveform, config.quantization_channels)
-    gc_emb = embed_gc(params, config, gc_ids) if gc_ids is not None else None
-    logits = forward(params, config, net_in, gc_emb)
+        logits = forward_codes(params, config, waveform, gc_emb)
     return jax.nn.softmax(logits[:, -1, :], axis=-1)
 
 
@@ -283,14 +341,14 @@ def loss_fn(params: Params, config: WaveNetConfig,
         audio_batch = audio_batch[..., 0]
 
     encoded = mu_law_encode(audio_batch, c.quantization_channels)  # [B, T]
-    if c.scalar_input:
-        network_input = audio_batch[..., None].astype(jnp.float32)
-    else:
-        network_input = one_hot(encoded, c.quantization_channels)
-    network_input = network_input[:, :-1, :]
-
     gc_emb = embed_gc(params, c, gc_ids) if gc_ids is not None else None
-    raw_output = forward(params, c, network_input, gc_emb)  # [B, T-1, Q]
+    if c.scalar_input:
+        network_input = audio_batch[:, :-1, None].astype(jnp.float32)
+        raw_output = forward(params, c, network_input, gc_emb)
+    else:
+        # Integer-code path: the one-hot x conv collapses to a weight-row
+        # gather (forward_codes) — no [B, T, Q] input tensor.
+        raw_output = forward_codes(params, c, encoded[:, :-1], gc_emb)
 
     prediction = raw_output[:, rf - 1:, :]
     target = encoded[:, rf:]

@@ -144,6 +144,19 @@ def _featurize(code_or_amp: jnp.ndarray, config: WaveNetConfig) -> jnp.ndarray:
                           dtype=jnp.float32)
 
 
+def _code_to_input(code: jnp.ndarray, config: WaveNetConfig) -> jnp.ndarray:
+    """Sampled class -> next-step network input features.
+
+    In scalar mode the classification head still emits mu-law classes; the
+    autoregressive input is the DECODED amplitude (this closes the loop
+    the reference left NotImplementedError'd, model.py ≈:652).
+    """
+    if config.scalar_input:
+        from wavenet_tpu.audio import mu_law_decode
+        return mu_law_decode(code, config.quantization_channels)[..., None]
+    return _featurize(code, config)
+
+
 def prime_state(params: Params, config: WaveNetConfig, state: SamplerState,
                 waveform: jnp.ndarray,
                 gc_embedding: Optional[jnp.ndarray] = None) -> SamplerState:
@@ -182,7 +195,7 @@ def generate_codes(params: Params, config: WaveNetConfig,
         st, x = carry
         st, logits = sampler_step(params, config, st, x, gc_embedding)
         code = jax.random.categorical(key_t, logits / temperature, axis=-1)
-        return (st, _featurize(code, config)), code
+        return (st, _code_to_input(code, config)), code
 
     (_, _), codes = lax.scan(body, (state, first_input), keys)
     return jnp.moveaxis(codes, 0, 1)
@@ -200,15 +213,26 @@ def generate(params: Params, config: WaveNetConfig, n_samples: int,
     sample, matching the reference's unseeded start (generate.py ≈:170).
     """
     c = config
-    if c.scalar_input:
-        raise NotImplementedError(
-            "generate() drives the mu-law code path; scalar-input "
-            "generation uses generate_codes with amplitude inputs.")
     state = init_sampler_state(c, batch_size)
     gc_emb = embed_gc(params, c, gc_ids) if gc_ids is not None else None
 
+    if c.scalar_input and seed_codes is not None:
+        # In scalar mode the seed is raw amplitudes [B, T]; prime with the
+        # amplitudes, then continue from the decoded last sample.
+        state = prime_state(params, c, state, seed_codes[:, :-1], gc_emb)
+        first_input = seed_codes[:, -1][..., None].astype(jnp.float32)
+        return generate_codes(params, c, state, first_input, n_samples,
+                              key, temperature, gc_emb)
+
     key_first, key_gen = jax.random.split(key)
     if seed_codes is None:
+        if c.scalar_input:
+            silence = jnp.zeros((batch_size, c.receptive_field - 1),
+                                jnp.float32)
+            state = prime_state(params, c, state, silence, gc_emb)
+            first = jnp.zeros((batch_size,), jnp.float32)
+            return generate_codes(params, c, state, first[..., None],
+                                  n_samples, key_gen, temperature, gc_emb)
         silence = jnp.full((batch_size, c.receptive_field - 1),
                            c.quantization_channels // 2, jnp.int32)
         state = prime_state(params, c, state, silence, gc_emb)
