@@ -183,3 +183,20 @@ def test_forward_codes_matches_one_hot_forward(rng):
     via_codes = forward_codes(params, cfg, codes, gc_emb)
     np.testing.assert_allclose(np.asarray(via_codes), np.asarray(via_onehot),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_remat_same_loss_and_grads(rng):
+    cfg = small_config()
+    cfg_r = small_config(remat=True)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    T = cfg.receptive_field + 16
+    audio = jnp.asarray(rng.uniform(-1, 1, (2, T)).astype(np.float32))
+
+    (l1, _), g1 = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, cfg, audio)
+    (l2, _), g2 = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, cfg_r, audio)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)

@@ -120,3 +120,26 @@ def test_multihost_helpers_single_process_degrade():
     assert audio_g.shape == audio.shape
     np.testing.assert_array_equal(np.asarray(audio_g), audio)
     np.testing.assert_array_equal(np.asarray(gc_g), gc)
+
+
+def test_sharded_generation_matches_single_device():
+    # dp x tp sharded sampling must emit the same codes as one device
+    # (same jax.random keys -> same draws).
+    from wavenet_tpu.sample import generate_codes, generate_sharded, \
+        init_sampler_state, _featurize
+    import jax.numpy as jnp
+
+    cfg = cfg_for_tp()
+    from wavenet_tpu.models.wavenet import init_params
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    key = jax.random.PRNGKey(9)
+    n, B = 40, 8
+
+    state = init_sampler_state(cfg, B)
+    first = jnp.full((B,), cfg.quantization_channels // 2, jnp.int32)
+    ref = np.asarray(generate_codes(params, cfg, state,
+                                    _featurize(first, cfg), n, key))
+
+    mesh = make_mesh(model_parallelism=2)  # (4 data, 2 model)
+    out = np.asarray(generate_sharded(params, cfg, n, key, mesh, B))
+    np.testing.assert_array_equal(out, ref)

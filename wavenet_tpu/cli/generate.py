@@ -127,7 +127,10 @@ def main(argv=None):
 
     key = jax.random.PRNGKey(args.seed if args.seed is not None else 0)
 
-    if args.fast_generation:
+    if args.fast_generation and args.save_every:
+        codes = _generate_fast_chunked(params, config, args, key, gc_ids,
+                                       seed_codes, wavenet_params)
+    elif args.fast_generation:
         codes = _generate_fast(params, config, args, key, gc_ids, seed_codes)
     else:
         # Slow path: full conv forward on the trailing receptive-field
@@ -177,6 +180,51 @@ def _generate_fast(params, config, args, key, gc_ids, seed_codes):
     return generate(params, config, args.samples, key,
                     batch_size=args.batch_size, gc_ids=gc_ids,
                     temperature=args.temperature, seed_codes=seed_codes)
+
+
+def _generate_fast_chunked(params, config, args, key, gc_ids, seed_codes,
+                           wavenet_params):
+    """--save_every: generate in chunks, dumping the partial wav after
+    each (reference generate.py ≈:225). Uses the resumable scan sampler —
+    state carries across chunks, zero recompute."""
+    from wavenet_tpu.audio import mu_law_decode_np, write_wav
+    from wavenet_tpu.models.wavenet import embed_gc
+    from wavenet_tpu.sample import (
+        _featurize, generate_codes_resumable, init_sampler_state,
+        prime_state)
+
+    c = config
+    B = args.batch_size
+    gc_emb = embed_gc(params, c, gc_ids) if gc_ids is not None else None
+    state = init_sampler_state(c, B)
+    key_first, key = jax.random.split(key)
+    if seed_codes is None:
+        silence = jnp.full((B, c.receptive_field - 1),
+                           c.quantization_channels // 2, jnp.int32)
+        state = prime_state(params, c, state, silence, gc_emb)
+        first = jax.random.randint(key_first, (B,), 0,
+                                   c.quantization_channels)
+    else:
+        state = prime_state(params, c, state, seed_codes[:, :-1], gc_emb)
+        first = seed_codes[:, -1]
+
+    x = _featurize(first, c)
+    chunks = []
+    done = 0
+    while done < args.samples:
+        n = min(args.save_every, args.samples - done)
+        key, sub = jax.random.split(key)
+        codes, state, x = generate_codes_resumable(
+            params, c, state, x, n, sub, args.temperature, gc_emb)
+        chunks.append(np.asarray(codes))
+        done += n
+        if args.wav_out_path:
+            partial = np.concatenate(chunks, axis=1)
+            wave = mu_law_decode_np(partial[0], c.quantization_channels)
+            write_wav(args.wav_out_path, wave,
+                      wavenet_params["sample_rate"])
+            print(f"Sample {done}/{args.samples} — partial wav updated")
+    return jnp.asarray(np.concatenate(chunks, axis=1))
 
 
 def _generate_slow(params, config, args, key, gc_ids, seed_codes):

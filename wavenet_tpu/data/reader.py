@@ -86,14 +86,27 @@ def not_all_have_id(files: List[str]) -> bool:
     return any(parse_speaker_id(os.path.basename(f)) is None for f in files)
 
 
+def _read_wav_any(filename: str, sample_rate: int,
+                  use_native: bool = True) -> np.ndarray:
+    """Decode+resample via the native C++ library, scipy as fallback."""
+    if use_native:
+        from wavenet_tpu.data import native
+        loaded = native.read_wav(filename, sample_rate)
+        if loaded is not None:
+            return loaded[0]
+    audio, _ = read_wav(filename, sample_rate)
+    return audio
+
+
 def load_generic_audio(directory: str, sample_rate: int,
-                       rng: Optional[random.Random] = None):
+                       rng: Optional[random.Random] = None,
+                       use_native: bool = True):
     """Generator of (audio [T, 1] float32, filename, speaker_id) (≈:42)."""
     files = find_files(directory)
     if not files:
         raise ValueError(f"No wav files found in '{directory}'.")
     for filename in randomize_files(files, rng):
-        audio, _ = read_wav(filename, sample_rate)
+        audio = _read_wav_any(filename, sample_rate, use_native)
         category_id = parse_speaker_id(os.path.basename(filename))
         yield audio.reshape(-1, 1), filename, category_id
 
@@ -117,7 +130,8 @@ class AudioReader:
                  queue_size: int = 32,
                  num_threads: int = 1,
                  seed: Optional[int] = None,
-                 bucket_size: int = 16000):
+                 bucket_size: int = 16000,
+                 use_native: bool = True):
         self.audio_dir = audio_dir
         self.sample_rate = sample_rate
         self.gc_enabled = gc_enabled
@@ -125,6 +139,7 @@ class AudioReader:
         self.sample_size = sample_size
         self.silence_threshold = silence_threshold
         self.bucket_size = bucket_size
+        self.use_native = use_native
         self._queue: "queue.Queue" = queue.Queue(maxsize=queue_size)
         self._threads: List[threading.Thread] = []
         self._stop = threading.Event()
@@ -153,12 +168,13 @@ class AudioReader:
         """Reference ``thread_main`` (≈:130-170): trim, pad, chunk, enqueue."""
         rng = random.Random(None if self._seed is None
                             else self._seed + thread_index)
-        iterator = load_generic_audio(self.audio_dir, self.sample_rate, rng)
+        iterator = load_generic_audio(self.audio_dir, self.sample_rate, rng,
+                                      self.use_native)
         for audio, filename, category_id in iterator:
             if self._stop.is_set():
                 return
             if self.silence_threshold is not None:
-                audio = trim_silence(audio[:, 0], self.silence_threshold)
+                audio = self._trim(audio[:, 0])
                 audio = audio.reshape(-1, 1)
                 if audio.size == 0:
                     warnings.warn(
@@ -194,6 +210,14 @@ class AudioReader:
                 piece = np.pad(audio, [[0, bucketed - n], [0, 0]],
                                mode="constant")
                 self._put((piece[:, 0].astype(np.float32), category_id))
+
+    def _trim(self, audio: np.ndarray) -> np.ndarray:
+        if self.use_native:
+            from wavenet_tpu.data import native
+            trimmed = native.trim_silence(audio, self.silence_threshold)
+            if trimmed is not None:
+                return trimmed
+        return trim_silence(audio, self.silence_threshold)
 
     def _put(self, item) -> None:
         while not self._stop.is_set():

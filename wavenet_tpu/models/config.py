@@ -45,6 +45,10 @@ class WaveNetConfig:
     # fp32; 'bfloat16' casts activations/weights at the conv inputs and
     # accumulates in fp32 on the MXU. Use 'float32' for reference parity.
     compute_dtype: str = "float32"
+    # TPU-specific: rematerialize each dilation layer in the backward pass
+    # (jax.checkpoint) — trades ~30% more FLOPs for O(L) x less activation
+    # memory; enables long sample_size / large batch on one chip.
+    remat: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "dilations", tuple(self.dilations))

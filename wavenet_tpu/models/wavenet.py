@@ -215,31 +215,45 @@ def _dilated_stack(params: Params, c: WaveNetConfig, current: jnp.ndarray,
     if gc_embedding is not None:
         gc = _maybe_cast(gc_embedding, c)  # [B, G]
 
-    gate_outs = []
-    for i, dilation in enumerate(c.dilations):
+    def layer_fn(current, layer_params, dilation):
         # Gated unit: out = tanh(Wf*x [+gc+b]) . sigmoid(Wg*x [+gc+b])
-        w_f = _maybe_cast(params["filter"][i], c)
-        w_g = _maybe_cast(params["gate"][i], c)
+        w_f = _maybe_cast(layer_params["filter"], c)
+        w_g = _maybe_cast(layer_params["gate"], c)
         conv_filter = causal_conv_padded(current, w_f, dilation, precision)
         conv_gate = causal_conv_padded(current, w_g, dilation, precision)
 
         if gc is not None:
-            gcf = (gc @ _maybe_cast(params["gc_filter"][i], c))[:, None, :]
-            gcg = (gc @ _maybe_cast(params["gc_gate"][i], c))[:, None, :]
+            gcf = (gc @ _maybe_cast(layer_params["gc_filter"], c))[:, None, :]
+            gcg = (gc @ _maybe_cast(layer_params["gc_gate"], c))[:, None, :]
             conv_filter = conv_filter + gcf
             conv_gate = conv_gate + gcg
 
         if use_biases:
-            conv_filter = conv_filter + _maybe_cast(params["filter_bias"][i], c)
-            conv_gate = conv_gate + _maybe_cast(params["gate_bias"][i], c)
+            conv_filter = conv_filter + _maybe_cast(layer_params["filter_bias"], c)
+            conv_gate = conv_gate + _maybe_cast(layer_params["gate_bias"], c)
 
         out = jnp.tanh(conv_filter) * jax.nn.sigmoid(conv_gate)
-        gate_outs.append(out)
 
-        transformed = conv1x1(out, _maybe_cast(params["dense"][i], c), precision)
+        transformed = conv1x1(out, _maybe_cast(layer_params["dense"], c),
+                              precision)
         if use_biases:
-            transformed = transformed + _maybe_cast(params["dense_bias"][i], c)
-        current = current + transformed
+            transformed = transformed + _maybe_cast(layer_params["dense_bias"], c)
+        return current + transformed, out
+
+    if c.remat:
+        layer_fn = jax.checkpoint(layer_fn, static_argnums=(2,))
+
+    layer_keys = ["filter", "gate", "dense"]
+    if use_biases:
+        layer_keys += ["filter_bias", "gate_bias", "dense_bias"]
+    if gc is not None:
+        layer_keys += ["gc_filter", "gc_gate"]
+
+    gate_outs = []
+    for i, dilation in enumerate(c.dilations):
+        layer_params = {k: params[k][i] for k in layer_keys}
+        current, out = layer_fn(current, layer_params, dilation)
+        gate_outs.append(out)
 
     # Deferred skip head: one big matmul over all layers' gate outputs.
     all_outs = jnp.concatenate(gate_outs, axis=-1)          # [B, T, L*D]

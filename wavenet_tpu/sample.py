@@ -178,16 +178,17 @@ def prime_state(params: Params, config: WaveNetConfig, state: SamplerState,
 
 @partial(jax.jit, static_argnames=("config", "n_samples"),
          donate_argnames=("state",))
-def generate_codes(params: Params, config: WaveNetConfig,
-                   state: SamplerState, first_input: jnp.ndarray,
-                   n_samples: int, key: jax.Array,
-                   temperature: float = 1.0,
-                   gc_embedding: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Sample ``n_samples`` mu-law codes autoregressively. Returns [B, n].
+def generate_codes_resumable(params: Params, config: WaveNetConfig,
+                             state: SamplerState, first_input: jnp.ndarray,
+                             n_samples: int, key: jax.Array,
+                             temperature: float = 1.0,
+                             gc_embedding: Optional[jnp.ndarray] = None):
+    """Sample n codes; also return (state, next_input) for continuation.
 
-    The entire loop is one XLA program: state is donated, logits never
+    One XLA program for the whole chunk: state donated, logits never
     leave the device (contrast: reference generate.py ≈:190 does one
-    sess.run per sample).
+    sess.run per sample). The returned carry lets callers generate in
+    chunks (e.g. --save_every partial wav dumps) with zero recompute.
     """
     keys = jax.random.split(key, n_samples)
 
@@ -197,8 +198,61 @@ def generate_codes(params: Params, config: WaveNetConfig,
         code = jax.random.categorical(key_t, logits / temperature, axis=-1)
         return (st, _code_to_input(code, config)), code
 
-    (_, _), codes = lax.scan(body, (state, first_input), keys)
-    return jnp.moveaxis(codes, 0, 1)
+    (state, next_input), codes = lax.scan(body, (state, first_input), keys)
+    return jnp.moveaxis(codes, 0, 1), state, next_input
+
+
+def generate_codes(params: Params, config: WaveNetConfig,
+                   state: SamplerState, first_input: jnp.ndarray,
+                   n_samples: int, key: jax.Array,
+                   temperature: float = 1.0,
+                   gc_embedding: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Sample ``n_samples`` mu-law codes autoregressively. Returns [B, n]."""
+    codes, _, _ = generate_codes_resumable(
+        params, config, state, first_input, n_samples, key, temperature,
+        gc_embedding)
+    return codes
+
+
+def generate_sharded(params: Params, config: WaveNetConfig, n_samples: int,
+                     key: jax.Array, mesh, batch_size: int,
+                     gc_ids: Optional[jnp.ndarray] = None,
+                     temperature: float = 1.0) -> jnp.ndarray:
+    """Batched generation over a device mesh (dp over batch, tp optional).
+
+    The sampling state (ring buffers [L, max_d, B, R]) is sharded over the
+    mesh's "data" axis on its batch dim; ``jit`` partitions the whole scan
+    SPMD so every device advances its own streams, and any model-axis
+    sharding of the weights turns the per-step matmuls into collective
+    ones (psum over ICI) automatically. This is the BASELINE
+    "multi-host batched sampling with state exchanged via collectives"
+    path — on a multi-host mesh the same code spans DCN.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from wavenet_tpu.parallel.sharding import DATA_AXIS, shard_params
+
+    if batch_size % mesh.shape[DATA_AXIS] != 0:
+        raise ValueError(f"batch {batch_size} not divisible by data axis "
+                         f"{mesh.shape[DATA_AXIS]}")
+    sharded_params = shard_params(params, config, mesh)
+    state = init_sampler_state(config, batch_size)
+    state = SamplerState(
+        t=jax.device_put(state.t, NamedSharding(mesh, P())),
+        causal_buf=jax.device_put(
+            state.causal_buf, NamedSharding(mesh, P(DATA_AXIS, None, None))),
+        layer_bufs=jax.device_put(
+            state.layer_bufs,
+            NamedSharding(mesh, P(None, None, DATA_AXIS, None))),
+    )
+    gc_emb = embed_gc(sharded_params, config, gc_ids) \
+        if gc_ids is not None else None
+
+    first = jnp.full((batch_size,), config.quantization_channels // 2,
+                     jnp.int32)
+    first_in = jax.device_put(_featurize(first, config),
+                              NamedSharding(mesh, P(DATA_AXIS, None)))
+    return generate_codes(sharded_params, config, state, first_in,
+                          n_samples, key, temperature, gc_emb)
 
 
 def generate(params: Params, config: WaveNetConfig, n_samples: int,
