@@ -16,11 +16,13 @@ from wavenet_tpu.audio import (
 from wavenet_tpu.models.config import CONFIGS, WaveNetConfig
 from wavenet_tpu.models.wavenet import (
     forward,
+    forward_codes,
     init_params,
     loss_fn,
     one_hot,
     predict_proba,
 )
+from wavenet_tpu.sample import generate, generate_sharded
 from wavenet_tpu.ops.conv import (
     batch_to_time,
     causal_conv,

@@ -232,6 +232,14 @@ def _generate_slow(params, config, args, key, gc_ids, seed_codes):
     from wavenet_tpu.models.wavenet import predict_proba
 
     rf = config.receptive_field
+
+    @jax.jit
+    def one_step(window, sub):
+        probs = predict_proba(params, config, window, gc_ids)
+        logits = jnp.log(jnp.maximum(probs, 1e-30))
+        return jax.random.categorical(sub, logits / args.temperature,
+                                      axis=-1)
+
     if seed_codes is not None:
         window = np.asarray(seed_codes)
     else:
@@ -240,11 +248,12 @@ def _generate_slow(params, config, args, key, gc_ids, seed_codes):
     out = []
     for i in range(args.samples):
         key, sub = jax.random.split(key)
-        probs = predict_proba(params, config,
-                              jnp.asarray(window[:, -rf:]), gc_ids)
-        logits = jnp.log(jnp.maximum(probs, 1e-30))
-        code = np.asarray(
-            jax.random.categorical(sub, logits / args.temperature, axis=-1))
+        # Fixed-size window (left-pad with silence) -> one compiled step.
+        win = window[:, -rf:]
+        if win.shape[1] < rf:
+            win = np.pad(win, ((0, 0), (rf - win.shape[1], 0)),
+                         constant_values=config.quantization_channels // 2)
+        code = np.asarray(one_step(jnp.asarray(win), sub))
         window = np.concatenate([window, code[:, None]], axis=1)
         out.append(code)
         if i % 100 == 0:

@@ -77,6 +77,12 @@ def get_arguments(argv=None):
     parser.add_argument("--process_id", type=int, default=None)
     parser.add_argument("--compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--remat", action="store_true",
+                        help="Rematerialize layers in backward (less "
+                             "activation memory, ~30%% more FLOPs).")
+    parser.add_argument("--use_pallas_stack", action="store_true",
+                        help="Run the dilated stack through the fused "
+                             "Pallas training kernel.")
     parser.add_argument("--seed", type=int, default=None)
     return parser.parse_args(argv)
 
@@ -176,6 +182,8 @@ def main(argv=None):
         gc_channels=args.gc_channels,
         gc_cardinality=reader.gc_category_cardinality if gc_enabled else None,
         compute_dtype=args.compute_dtype,
+        remat=args.remat,
+        use_pallas_stack=args.use_pallas_stack,
     )
 
     if args.l2_regularization_strength == 0:

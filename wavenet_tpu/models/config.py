@@ -49,6 +49,12 @@ class WaveNetConfig:
     # (jax.checkpoint) — trades ~30% more FLOPs for O(L) x less activation
     # memory; enables long sample_size / large batch on one chip.
     remat: bool = False
+    # TPU-specific (EXPERIMENTAL): run the dilated stack through the fused
+    # Pallas layer kernel (kernels/dilated_layer.py) — whole layer per
+    # VMEM tile with a flash-style recomputing custom VJP. Requires
+    # filter_width == 2. Currently SLOWER than the XLA path (see the
+    # kernel's STATUS note); off by default.
+    use_pallas_stack: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "dilations", tuple(self.dilations))

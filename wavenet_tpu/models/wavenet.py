@@ -215,6 +215,13 @@ def _dilated_stack(params: Params, c: WaveNetConfig, current: jnp.ndarray,
     if gc_embedding is not None:
         gc = _maybe_cast(gc_embedding, c)  # [B, G]
 
+    if c.use_pallas_stack:
+        if c.filter_width != 2:
+            raise NotImplementedError(
+                "use_pallas_stack requires filter_width=2")
+        return _dilated_stack_pallas(params, c, current, gc_embedding,
+                                     compute_dtype, precision)
+
     def layer_fn(current, layer_params, dilation):
         # Gated unit: out = tanh(Wf*x [+gc+b]) . sigmoid(Wg*x [+gc+b])
         w_f = _maybe_cast(layer_params["filter"], c)
@@ -307,6 +314,62 @@ def forward_codes(params: Params, config: WaveNetConfig,
     current = current.astype(compute_dtype)
     return _dilated_stack(params, c, current, gc_embedding, compute_dtype,
                           precision)
+
+
+def _dilated_stack_pallas(params: Params, c: WaveNetConfig,
+                          current: jnp.ndarray,
+                          gc_embedding: Optional[jnp.ndarray],
+                          compute_dtype, precision) -> jnp.ndarray:
+    """Dilated stack via the fused Pallas layer kernel (+ deferred skip)."""
+    from wavenet_tpu.kernels.dilated_layer import fused_dilated_layer
+
+    B = current.shape[0]
+    L, R, D, S = (c.num_layers, c.residual_channels, c.dilation_channels,
+                  c.skip_channels)
+    # Per-layer packed weights: w [2, R, 2D] (taps x filter|gate).
+    w_all = jnp.concatenate([params["filter"], params["gate"]], axis=-1)
+    # add [L, B, 2D] = bias + gc contribution, per example.
+    add = jnp.zeros((L, B, 2 * D), jnp.float32)
+    if c.use_biases:
+        add = add + jnp.concatenate(
+            [params["filter_bias"], params["gate_bias"]], axis=-1)[:, None, :]
+        bd_all = params["dense_bias"][:, None, :]         # [L, 1, R]
+    else:
+        bd_all = jnp.zeros((L, 1, R), jnp.float32)
+    if gc_embedding is not None:
+        w_gc = jnp.concatenate([params["gc_filter"], params["gc_gate"]],
+                               axis=-1)  # [L, G, 2D]
+        add = add + jnp.einsum("bg,lgd->lbd",
+                               gc_embedding.astype(jnp.float32), w_gc,
+                               precision=lax.Precision.HIGHEST)
+
+    current = current.astype(jnp.float32)
+    kernel_dtype = (jnp.bfloat16 if c.compute_dtype == "bfloat16"
+                    else jnp.float32)
+    gate_outs = []
+    for i, dilation in enumerate(c.dilations):
+        current, out = fused_dilated_layer(
+            current, w_all[i], params["dense"][i], add[i], bd_all[i],
+            dilation, kernel_dtype)
+        gate_outs.append(out)
+
+    all_outs = jnp.concatenate(gate_outs, axis=-1)          # [B, T, L*D]
+    w_skip_all = _maybe_cast(params["skip"].reshape(L * D, S), c)
+    skip_sum = jnp.einsum("btc,co->bto", _maybe_cast(all_outs, c),
+                          w_skip_all, precision=precision)
+    if c.use_biases:
+        skip_sum = skip_sum + _maybe_cast(
+            jnp.sum(params["skip_bias"], axis=0), c)
+
+    h = jax.nn.relu(skip_sum)
+    h = conv1x1(h, _maybe_cast(params["postprocess1"], c), precision)
+    if c.use_biases:
+        h = h + _maybe_cast(params["postprocess1_bias"], c)
+    h = jax.nn.relu(h)
+    h = conv1x1(h, _maybe_cast(params["postprocess2"], c), precision)
+    if c.use_biases:
+        h = h + _maybe_cast(params["postprocess2_bias"], c)
+    return h.astype(jnp.float32)
 
 
 def predict_proba(params: Params, config: WaveNetConfig,
