@@ -1,0 +1,84 @@
+"""Serving-layer test: spin the real HTTP server on a tiny model (CPU,
+scan sampler) and exercise /healthz, /generate (wav + codes), errors."""
+
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import jax
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve")
+    from wavenet_tpu.models.config import WaveNetConfig
+    from wavenet_tpu.serve import GenerationService, make_handler
+    from wavenet_tpu.train_lib import (
+        create_train_state, make_optimizer, save_checkpoint)
+
+    cfg = WaveNetConfig(dilations=(1, 2, 4), residual_channels=4,
+                        dilation_channels=4, skip_channels=8,
+                        quantization_channels=32, sample_rate=2000)
+    params_path = tmp / "params.json"
+    params_path.write_text(json.dumps(cfg.to_json_dict()))
+    opt = make_optimizer("adam", 1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    save_checkpoint(str(tmp / "ckpt"), state)
+
+    service = GenerationService(str(tmp / "ckpt"), str(params_path),
+                                sampler="scan", warm_samples=8)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        resp = urllib.request.urlopen(req, timeout=60)
+        return resp.status, resp.headers.get("Content-Type"), resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.headers.get("Content-Type"), e.read()
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(server + "/healthz", timeout=30) as r:
+        body = json.loads(r.read())
+    assert body["status"] == "ok"
+    assert body["sampler"] == "scan"
+    assert body["sample_rate"] == 2000
+
+
+def test_generate_wav(server):
+    status, ctype, body = _post(server + "/generate",
+                                {"samples": 64, "seed": 3})
+    assert status == 200 and ctype == "audio/wav"
+    assert body[:4] == b"RIFF"
+    # 44-byte header + 64 16-bit samples.
+    assert len(body) == 44 + 128
+
+
+def test_generate_codes_deterministic(server):
+    s1, _, b1 = _post(server + "/generate",
+                      {"samples": 32, "seed": 5, "format": "codes"})
+    s2, _, b2 = _post(server + "/generate",
+                      {"samples": 32, "seed": 5, "format": "codes"})
+    assert s1 == s2 == 200
+    c1, c2 = json.loads(b1)["codes"], json.loads(b2)["codes"]
+    assert c1 == c2 and len(c1) == 32
+    assert all(0 <= c < 32 for c in c1)
+
+
+def test_generate_bad_request(server):
+    status, _, body = _post(server + "/generate", {"samples": -5})
+    assert status == 400
+    assert "error" in json.loads(body)
+    status, _, _ = _post(server + "/nope", {})
+    assert status == 404

@@ -60,6 +60,10 @@ def get_arguments(argv=None):
                         help="ID of category to generate, int value.")
     parser.add_argument("--seed", type=int, default=None,
                         help="PRNG seed for sampling.")
+    parser.add_argument("--compilation_cache", type=str,
+                        default="~/.cache/wavenet_tpu_xla",
+                        help="Persistent XLA compilation cache dir "
+                             "('' disables).")
     return parser.parse_args(argv)
 
 
@@ -76,6 +80,9 @@ def create_seed(filename, sample_rate, quantization_channels, window_size,
 
 def main(argv=None):
     args = get_arguments(argv)
+
+    from wavenet_tpu.cli.train import enable_compilation_cache
+    enable_compilation_cache(args.compilation_cache)
 
     from wavenet_tpu.audio import mu_law_decode, write_wav
     from wavenet_tpu.models.config import WaveNetConfig

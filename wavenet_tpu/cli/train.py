@@ -84,7 +84,21 @@ def get_arguments(argv=None):
                         help="Run the dilated stack through the fused "
                              "Pallas training kernel.")
     parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--compilation_cache", type=str,
+                        default="~/.cache/wavenet_tpu_xla",
+                        help="Persistent XLA compilation cache dir "
+                             "('' disables). Makes restarts skip the "
+                             "first-step compile.")
     return parser.parse_args(argv)
+
+
+def enable_compilation_cache(path: str) -> None:
+    if not path:
+        return
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser(path))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def get_default_logdir(logdir_root):
@@ -131,6 +145,8 @@ def main(argv=None):
     except ValueError as e:
         print(f"Some arguments are wrong:\n{e}")
         return 1
+
+    enable_compilation_cache(args.compilation_cache)
 
     logdir = directories["logdir"]
     restore_from = directories["restore_from"]

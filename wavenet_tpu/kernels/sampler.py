@@ -67,9 +67,13 @@ class PackedSampler(NamedTuple):
 
 def pack_sampler_weights(params: Params, config: WaveNetConfig,
                          batch_size: int,
-                         gc_embedding: Optional[jnp.ndarray] = None
-                         ) -> PackedSampler:
-    """Rearrange the model pytree into the kernel's fused layout."""
+                         gc_embedding: Optional[jnp.ndarray] = None,
+                         weight_dtype=jnp.float32) -> PackedSampler:
+    """Rearrange the model pytree into the kernel's fused layout.
+
+    ``weight_dtype=bfloat16`` stores the matmul weights in bf16 (halves
+    their VMEM footprint; additive terms stay f32; all accumulation f32).
+    """
     c = config
     L, R, D, S, Q = (c.num_layers, c.residual_channels, c.dilation_channels,
                      c.skip_channels, c.quantization_channels)
@@ -113,11 +117,13 @@ def pack_sampler_weights(params: Params, config: WaveNetConfig,
         post1_b = jnp.zeros((1, S), f32)
         post2_b = jnp.zeros((1, Q), f32)
 
+    wd = weight_dtype
     return PackedSampler(
-        causal_w=causal_w, layer_w=layer_w, layer_add=add,
-        proj_w=proj_w, proj_add=proj_add,
-        post1_w=params["postprocess1"].astype(f32), post1_b=post1_b,
-        post2_w=params["postprocess2"].astype(f32), post2_b=post2_b)
+        causal_w=causal_w.astype(wd), layer_w=layer_w.astype(wd),
+        layer_add=add,
+        proj_w=proj_w.astype(wd), proj_add=proj_add,
+        post1_w=params["postprocess1"].astype(wd), post1_b=post1_b,
+        post2_w=params["postprocess2"].astype(wd), post2_b=post2_b)
 
 
 def ring_offsets(config: WaveNetConfig) -> Tuple[int, ...]:
@@ -165,7 +171,8 @@ def _sampler_kernel(
         # Causal layer: window = [prev | current] flattened on K.
         prev = causal_buf_ref[...]
         window = jnp.concatenate([prev, x], axis=-1)  # [B, kw*C_in]
-        current = jnp.dot(window, causal_w_ref[...],
+        current = jnp.dot(window.astype(causal_w_ref.dtype),
+                          causal_w_ref[...],
                           preferred_element_type=jnp.float32)  # [B, R]
         causal_buf_ref[...] = x
 
@@ -175,21 +182,21 @@ def _sampler_kernel(
             past = ring_ref[pos]  # [B, R]
             ring_ref[pos] = current
             x_cat = jnp.concatenate([past, current], axis=-1)  # [B, 2R]
-            fg = jnp.dot(x_cat, layer_w_ref[i],
+            fg = jnp.dot(x_cat.astype(layer_w_ref.dtype), layer_w_ref[i],
                          preferred_element_type=jnp.float32)
             fg = fg + layer_add_ref[i]
             out = jnp.tanh(fg[:, :D]) * jax.nn.sigmoid(fg[:, D:])
-            ds = jnp.dot(out, proj_w_ref[i],
+            ds = jnp.dot(out.astype(proj_w_ref.dtype), proj_w_ref[i],
                          preferred_element_type=jnp.float32)
             ds = ds + proj_add_ref[i]
             current = current + ds[:, :R]
             skip_sum = skip_sum + ds[:, R:]
 
         h = jnp.maximum(skip_sum, 0.0)
-        h = jnp.dot(h, post1_w_ref[...],
+        h = jnp.dot(h.astype(post1_w_ref.dtype), post1_w_ref[...],
                     preferred_element_type=jnp.float32) + post1_b_ref[...]
         h = jnp.maximum(h, 0.0)
-        h = jnp.dot(h, post2_w_ref[...],
+        h = jnp.dot(h.astype(post2_w_ref.dtype), post2_w_ref[...],
                     preferred_element_type=jnp.float32) + post2_b_ref[...]
         return h  # [B, Q]
 
@@ -289,7 +296,8 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
                     temperature: float = 1.0,
                     seed_codes: Optional[jnp.ndarray] = None,
                     collect_logits: bool = False,
-                    interpret: bool = False):
+                    interpret: bool = False,
+                    weight_dtype=jnp.float32):
     """Generate mu-law codes [B, n_samples] in a single kernel launch.
 
     ``seed_codes`` [B, T_seed] teacher-forces the first T_seed steps (queue
@@ -305,7 +313,7 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
     B = batch_size
 
     gc_emb = embed_gc(params, c, gc_ids) if gc_ids is not None else None
-    packed = pack_sampler_weights(params, c, B, gc_emb)
+    packed = pack_sampler_weights(params, c, B, gc_emb, weight_dtype)
 
     if seed_codes is None:
         silence = jnp.full((B, 1), c.quantization_channels // 2, jnp.int32)

@@ -1,0 +1,180 @@
+"""Minimal production serving for generation: HTTP around a warm sampler.
+
+The reference has no serving story (generation = run a script). This is
+the deployment-shaped counterpart: load a checkpoint once, pre-compile
+the sampler, then serve generation requests over HTTP with the device
+serialized behind a lock (one chip = one request at a time; batched
+requests amortize).
+
+    python -m wavenet_tpu.serve --checkpoint logdir/train/<run> \
+        --wavenet_params wavenet_params.json [--port 8765] \
+        [--gc_channels 32 --gc_cardinality 109]
+
+API (stdlib-only server, JSON in / WAV or JSON out):
+  GET  /healthz            -> {"status": "ok", "config": {...}}
+  POST /generate           {"samples": 16000, "gc_id": 3,
+                            "temperature": 0.9, "seed": 7,
+                            "format": "wav" | "codes"}
+      -> audio/wav bytes (format=wav, default), or
+         {"codes": [...]} JSON (format=codes)
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class GenerationService:
+    """Checkpoint + compiled sampler + device lock."""
+
+    def __init__(self, checkpoint: str, wavenet_params: str,
+                 gc_channels: Optional[int] = None,
+                 gc_cardinality: Optional[int] = None,
+                 sampler: str = "auto", warm_samples: int = 256):
+        from wavenet_tpu.models.config import WaveNetConfig
+        from wavenet_tpu.models.wavenet import init_params
+        from wavenet_tpu.train_lib import restore_params_only
+
+        with open(wavenet_params) as f:
+            raw = json.load(f)
+        self.sample_rate = raw["sample_rate"]
+        self.config = WaveNetConfig.from_json(
+            raw, gc_channels=gc_channels, gc_cardinality=gc_cardinality)
+        template = init_params(jax.random.PRNGKey(0), self.config)
+        params = restore_params_only(checkpoint, template)
+        if params is None:
+            raise FileNotFoundError(f"no checkpoint in {checkpoint}")
+        self.params = params
+        self._lock = threading.Lock()
+
+        use_pallas = sampler == "pallas"
+        if sampler == "auto":
+            use_pallas = (self.config.filter_width == 2
+                          and not self.config.scalar_input
+                          and jax.devices()[0].platform not in ("cpu",))
+        self.use_pallas = use_pallas
+        if warm_samples:
+            self.generate(warm_samples, gc_id=0 if gc_channels else None)
+
+    def generate(self, n_samples: int, gc_id: Optional[int] = None,
+                 temperature: float = 1.0, seed: int = 0) -> np.ndarray:
+        """-> float waveform [n_samples] in [-1, 1]."""
+        from wavenet_tpu.audio import mu_law_decode_np
+        from wavenet_tpu.kernels.sampler import generate_pallas
+        from wavenet_tpu.sample import generate
+
+        gc_ids = (jnp.asarray([gc_id], jnp.int32)
+                  if gc_id is not None and self.config.gc_enabled else None)
+        with self._lock:
+            if self.use_pallas:
+                codes = generate_pallas(
+                    self.params, self.config, n_samples, seed=seed,
+                    batch_size=1, gc_ids=gc_ids, temperature=temperature)
+            else:
+                codes = generate(
+                    self.params, self.config, n_samples,
+                    jax.random.PRNGKey(seed), batch_size=1, gc_ids=gc_ids,
+                    temperature=temperature)
+            codes = np.asarray(jax.device_get(codes))[0]
+        return mu_law_decode_np(codes, self.config.quantization_channels)
+
+
+def _wav_bytes(waveform: np.ndarray, sample_rate: int) -> bytes:
+    from scipy.io import wavfile
+
+    buf = io.BytesIO()
+    wavfile.write(buf, sample_rate,
+                  (np.clip(waveform, -1, 1) * 32767).astype(np.int16))
+    return buf.getvalue()
+
+
+def make_handler(service: GenerationService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {
+                    "status": "ok",
+                    "sampler": "pallas" if service.use_pallas else "scan",
+                    "sample_rate": service.sample_rate,
+                    "config": service.config.to_json_dict(),
+                })
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                n = int(req.get("samples", service.sample_rate))
+                if not 1 <= n <= 10 * 60 * service.sample_rate:
+                    raise ValueError(f"samples out of range: {n}")
+                wave = service.generate(
+                    n, gc_id=req.get("gc_id"),
+                    temperature=float(req.get("temperature", 1.0)),
+                    seed=int(req.get("seed", 0)))
+            except (ValueError, KeyError, json.JSONDecodeError) as e:
+                self._json(400, {"error": str(e)})
+                return
+            if req.get("format", "wav") == "codes":
+                from wavenet_tpu.audio import mu_law_encode_np
+                self._json(200, {"codes": mu_law_encode_np(
+                    wave, service.config.quantization_channels).tolist()})
+                return
+            body = _wav_bytes(wave, service.sample_rate)
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return Handler
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="WaveNet generation server")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--wavenet_params", default="./wavenet_params.json")
+    ap.add_argument("--port", type=int, default=8765)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--gc_channels", type=int, default=None)
+    ap.add_argument("--gc_cardinality", type=int, default=None)
+    ap.add_argument("--sampler", default="auto",
+                    choices=["auto", "pallas", "scan"])
+    args = ap.parse_args(argv)
+
+    print("Loading + warming model...")
+    service = GenerationService(args.checkpoint, args.wavenet_params,
+                                args.gc_channels, args.gc_cardinality,
+                                args.sampler)
+    server = ThreadingHTTPServer((args.host, args.port),
+                                 make_handler(service))
+    print(f"Serving on http://{args.host}:{args.port} "
+          f"({'pallas' if service.use_pallas else 'scan'} sampler)")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
