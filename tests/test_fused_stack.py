@@ -1,6 +1,7 @@
-"""Whole-stack fused kernel parity (interpret mode): output of the single
-pallas_call must match the jnp dilated stack exactly, including across
-tile boundaries and with gc/bias terms."""
+"""Whole-stack fused kernel (sequential tap-carry design) parity tests:
+forward must match the jnp stack EXACTLY at every position (the zeroed
+carry is literally causal zero-padding), and the recompute-free backward
+must reproduce jnp gradients."""
 
 import jax
 import jax.numpy as jnp
@@ -9,7 +10,8 @@ import pytest
 from jax.experimental.pallas import tpu as pltpu
 
 from wavenet_tpu.kernels.fused_stack import (
-    fits_vmem, fused_stack_forward, pack_stack_weights, stack_geometry)
+    fused_stack, fused_stack_forward, pack_stack_weights, supports,
+    tap_offsets)
 from wavenet_tpu.models.config import WaveNetConfig
 from wavenet_tpu.models.wavenet import embed_gc, init_params
 
@@ -23,7 +25,6 @@ def small_cfg(**kw):
 
 
 def jnp_stack(x, params, cfg, gc_emb):
-    """The model's own jnp stack, restricted to (current, gate_outs)."""
     from wavenet_tpu.ops.conv import causal_conv_padded, conv1x1
     current = x
     outs = []
@@ -46,50 +47,124 @@ def jnp_stack(x, params, cfg, gc_emb):
 
 
 @pytest.mark.parametrize("gc", [False, True])
-def test_fused_stack_matches_jnp(gc, rng):
+def test_forward_exact_everywhere(gc, rng):
     cfg = small_cfg(gc_channels=4 if gc else None,
                     gc_cardinality=4 if gc else None)
+    assert supports(cfg, 64)
     params = init_params(jax.random.PRNGKey(0), cfg)
-    B, T = 2, 150   # t_tile=64 -> multiple tiles with halo crossing
+    B, T = 2, 150   # several 64-tiles, tap carries crossing boundaries
     x = jnp.asarray(rng.randn(B, T, cfg.residual_channels)
                     .astype(np.float32)) * 0.5
     gc_emb = embed_gc(params, cfg, jnp.asarray([0, 3])) if gc else None
 
     w_fg, wd, add, bd = pack_stack_weights(params, cfg, gc_emb, B)
     with pltpu.force_tpu_interpret_mode():
-        y, z = fused_stack_forward(x, w_fg, wd, add, bd, cfg, t_tile=64)
+        y, z = fused_stack(x, w_fg, wd, add, bd, cfg, jnp.float32, 64)
     y_ref, z_ref = jnp_stack(x, params, cfg, gc_emb)
-    # Equality contract: exact for t >= sum(dilations) (the loss only
-    # consumes t >= receptive_field - 1; see kernel docstring).
-    H = sum(cfg.dilations)
-    np.testing.assert_allclose(np.asarray(y[:, H:]), np.asarray(y_ref[:, H:]),
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(z[:, H:]), np.asarray(z_ref[:, H:]),
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref),
                                rtol=1e-4, atol=1e-5)
 
 
-def test_geometry_and_gate():
-    cfg = small_cfg()   # H = 31
-    K, W = stack_geometry(cfg, t_tile=64)
-    assert K == 2 and W == 128 and W - 64 >= 31
-    assert fits_vmem(cfg, t_tile=64)
-    from wavenet_tpu.models.config import sharded_config
-    # 80-layer 256-channel config blows the window budget at Tt=2048.
-    assert not fits_vmem(sharded_config())
-
-
-def test_nonmultiple_length_padding(rng):
-    cfg = small_cfg()
+def test_backward_matches_jnp(rng):
+    cfg = small_cfg(gc_channels=4, gc_cardinality=4)
     params = init_params(jax.random.PRNGKey(1), cfg)
-    x = jnp.asarray(rng.randn(1, 97, cfg.residual_channels)
-                    .astype(np.float32))
-    w_fg, wd, add, bd = pack_stack_weights(params, cfg, None, 1)
+    B, T = 2, 150
+    x = jnp.asarray(rng.randn(B, T, cfg.residual_channels)
+                    .astype(np.float32)) * 0.5
+    gc_emb = embed_gc(params, cfg, jnp.asarray([1, 2]))
+    w_fg, wd, add, bd = pack_stack_weights(params, cfg, gc_emb, B)
+
+    cy = jnp.asarray(rng.randn(B, T, cfg.residual_channels)
+                     .astype(np.float32))
+    cz = jnp.asarray(
+        rng.randn(B, T, cfg.num_layers * cfg.dilation_channels)
+        .astype(np.float32))
+
+    def loss_pallas(x, w_fg, wd, add, bd):
+        y, z = fused_stack(x, w_fg, wd, add, bd, cfg, jnp.float32, 64)
+        return jnp.sum(y * cy) + jnp.sum(z * cz)
+
+    def loss_ref(x, w_fg, wd, add, bd):
+        # Reference loss through the SAME packed-weight parameterization.
+        L, R, D = (cfg.num_layers, cfg.residual_channels,
+                   cfg.dilation_channels)
+        current = x
+        total = 0.0
+        for l in range(cfg.dilations.__len__()):
+            d = cfg.dilations[l]
+            past = jnp.pad(current, ((0, 0), (d, 0), (0, 0)))[:, :T, :]
+            fg = (jnp.einsum("btr,rd->btd", current, w_fg[l, R:, :])
+                  + jnp.einsum("btr,rd->btd", past, w_fg[l, :R, :])
+                  + add[l][:, None, :])
+            z = jnp.tanh(fg[..., :D]) * jax.nn.sigmoid(fg[..., D:])
+            total = total + jnp.sum(z * cz[..., D * l:D * (l + 1)])
+            current = (current + jnp.einsum("btd,dr->btr", z, wd[l])
+                       + bd[l][None])
+        return total + jnp.sum(current * cy)
+
     with pltpu.force_tpu_interpret_mode():
-        y, z = fused_stack_forward(x, w_fg, wd, add, bd, cfg, t_tile=64)
+        grads_p = jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4))(
+            x, w_fg, wd, add, bd)
+    grads_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(
+        x, w_fg, wd, add, bd)
+
+    names = ["dx", "dw_fg", "dwd", "dadd", "dbd"]
+    for name, gp, gr in zip(names, grads_p, grads_r):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   rtol=2e-3, atol=2e-4, err_msg=name)
+
+
+def test_offsets_and_gate():
+    cfg = small_cfg()
+    assert tap_offsets(cfg) == (0, 1, 3, 7, 15)
+    assert supports(cfg, 64)
+    assert not supports(small_cfg(dilations=(1, 128)), 64)  # d > tile
+
+
+def test_dilation_equal_to_tile(rng):
+    # d == t_tile: the past tap is entirely the carry (static branch).
+    cfg = small_cfg(dilations=(1, 4, 16, 64))
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    B, T = 1, 200
+    x = jnp.asarray(rng.randn(B, T, cfg.residual_channels)
+                    .astype(np.float32)) * 0.5
+    w_fg, wd, add, bd = pack_stack_weights(params, cfg, None, B)
+
+    cy = jnp.asarray(rng.randn(B, T, cfg.residual_channels).astype(np.float32))
+    cz = jnp.asarray(rng.randn(B, T, 4 * cfg.dilation_channels)
+                     .astype(np.float32))
+
+    def loss(fn_x, fn_w):
+        y, z = fused_stack(fn_x, fn_w, wd, add, bd, cfg, jnp.float32, 64)
+        return jnp.sum(y * cy) + jnp.sum(z * cz)
+
+    with pltpu.force_tpu_interpret_mode():
+        (y, z) = fused_stack(x, w_fg, wd, add, bd, cfg, jnp.float32, 64)
+        gx, gw = jax.grad(loss, argnums=(0, 1))(x, w_fg)
     y_ref, z_ref = jnp_stack(x, params, cfg, None)
-    assert y.shape == (1, 97, cfg.residual_channels)
-    H = sum(cfg.dilations)
-    np.testing.assert_allclose(np.asarray(y[:, H:]), np.asarray(y_ref[:, H:]),
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(z[:, H:]), np.asarray(z_ref[:, H:]),
-                               rtol=1e-4, atol=1e-5)
+
+    def loss_ref(xx, ww):
+        T_ = xx.shape[1]
+        R, D = cfg.residual_channels, cfg.dilation_channels
+        current = xx
+        total = 0.0
+        for l, d in enumerate(cfg.dilations):
+            past = jnp.pad(current, ((0, 0), (d, 0), (0, 0)))[:, :T_, :]
+            fg = (jnp.einsum("btr,rd->btd", current, ww[l, R:, :])
+                  + jnp.einsum("btr,rd->btd", past, ww[l, :R, :])
+                  + add[l][:, None, :])
+            zz = jnp.tanh(fg[..., :D]) * jax.nn.sigmoid(fg[..., D:])
+            total = total + jnp.sum(zz * cz[..., D * l:D * (l + 1)])
+            current = (current + jnp.einsum("btd,dr->btr", zz, wd[l])
+                       + bd[l][None])
+        return total + jnp.sum(current * cy)
+
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, w_fg)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_r),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_r),
+                               rtol=2e-3, atol=2e-4)

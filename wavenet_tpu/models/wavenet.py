@@ -320,40 +320,28 @@ def _dilated_stack_pallas(params: Params, c: WaveNetConfig,
                           current: jnp.ndarray,
                           gc_embedding: Optional[jnp.ndarray],
                           compute_dtype, precision) -> jnp.ndarray:
-    """Dilated stack via the fused Pallas layer kernel (+ deferred skip)."""
-    from wavenet_tpu.kernels.dilated_layer import fused_dilated_layer
+    """Dilated stack via the whole-stack fused kernel (+ deferred skip).
 
+    One pallas_call runs all L layers (kernels/fused_stack.py) with a
+    recompute-free custom VJP; the deferred skip head and postprocessing
+    stay in XLA.
+    """
+    from wavenet_tpu.kernels.fused_stack import (
+        fused_stack, pack_stack_weights, supports)
+
+    if not supports(c):
+        raise NotImplementedError(
+            "use_pallas_stack requires filter_width=2 and max dilation "
+            "<= the kernel tile size")
     B = current.shape[0]
-    L, R, D, S = (c.num_layers, c.residual_channels, c.dilation_channels,
-                  c.skip_channels)
-    # Per-layer packed weights: w [2, R, 2D] (taps x filter|gate).
-    w_all = jnp.concatenate([params["filter"], params["gate"]], axis=-1)
-    # add [L, B, 2D] = bias + gc contribution, per example.
-    add = jnp.zeros((L, B, 2 * D), jnp.float32)
-    if c.use_biases:
-        add = add + jnp.concatenate(
-            [params["filter_bias"], params["gate_bias"]], axis=-1)[:, None, :]
-        bd_all = params["dense_bias"][:, None, :]         # [L, 1, R]
-    else:
-        bd_all = jnp.zeros((L, 1, R), jnp.float32)
-    if gc_embedding is not None:
-        w_gc = jnp.concatenate([params["gc_filter"], params["gc_gate"]],
-                               axis=-1)  # [L, G, 2D]
-        add = add + jnp.einsum("bg,lgd->lbd",
-                               gc_embedding.astype(jnp.float32), w_gc,
-                               precision=lax.Precision.HIGHEST)
+    L, D, S = c.num_layers, c.dilation_channels, c.skip_channels
+    w_fg, wd, add, bd = pack_stack_weights(params, c, gc_embedding, B)
 
-    current = current.astype(jnp.float32)
     kernel_dtype = (jnp.bfloat16 if c.compute_dtype == "bfloat16"
                     else jnp.float32)
-    gate_outs = []
-    for i, dilation in enumerate(c.dilations):
-        current, out = fused_dilated_layer(
-            current, w_all[i], params["dense"][i], add[i], bd_all[i],
-            dilation, kernel_dtype)
-        gate_outs.append(out)
+    _, all_outs = fused_stack(current.astype(jnp.float32), w_fg, wd, add,
+                              bd, c, kernel_dtype)
 
-    all_outs = jnp.concatenate(gate_outs, axis=-1)          # [B, T, L*D]
     w_skip_all = _maybe_cast(params["skip"].reshape(L * D, S), c)
     skip_sum = jnp.einsum("btc,co->bto", _maybe_cast(all_outs, c),
                           w_skip_all, precision=precision)
