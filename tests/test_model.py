@@ -200,3 +200,26 @@ def test_remat_same_loss_and_grads(rng):
     for k in g1:
         np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
                                    rtol=1e-5, atol=1e-7, err_msg=k)
+
+
+def test_log_likelihood_scoring(rng):
+    from wavenet_tpu.score import log_likelihood
+    cfg = small_config()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    audio = jnp.asarray(rng.uniform(-1, 1, (2, 64)).astype(np.float32))
+    out = log_likelihood(params, cfg, audio)
+    assert out["logp_per_sample"].shape == (2, 63)
+    assert np.all(np.asarray(out["logp_per_sample"]) <= 0)
+    np.testing.assert_allclose(
+        np.asarray(out["total_logp"]),
+        np.asarray(out["logp_per_sample"]).sum(-1), rtol=1e-5)
+    assert np.all(np.asarray(out["bits_per_sample"]) > 0)
+    # Scoring must agree with predict_proba at the last position.
+    codes = np.asarray(
+        jnp.asarray(out["logp_per_sample"]))  # just exercise
+    from wavenet_tpu.audio import mu_law_encode
+    enc = mu_law_encode(audio, cfg.quantization_channels)
+    p = predict_proba(params, cfg, enc[:, :-1])
+    last_lp = np.asarray(out["logp_per_sample"])[:, -1]
+    want = np.log(np.asarray(p)[np.arange(2), np.asarray(enc)[:, -1]])
+    np.testing.assert_allclose(last_lp, want, rtol=1e-4, atol=1e-5)

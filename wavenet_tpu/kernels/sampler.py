@@ -150,6 +150,8 @@ def _sampler_kernel(
     config: WaveNetConfig, offsets: Tuple[int, ...], n_total: int,
     n_forced: int, batch_size: int, inv_temperature: float,
 ):
+    # ring_ref dtype may be bf16 (state_dtype option): halves the VMEM
+    # state so batch fits ~2x further; past values requantize on store.
     c = config
     L, R, D, S, Q = (c.num_layers, c.residual_channels, c.dilation_channels,
                      c.skip_channels, c.quantization_channels)
@@ -179,8 +181,8 @@ def _sampler_kernel(
         skip_sum = jnp.zeros((B, S), jnp.float32)
         for i, dilation in enumerate(c.dilations):
             pos = offsets[i] + t % dilation
-            past = ring_ref[pos]  # [B, R]
-            ring_ref[pos] = current
+            past = ring_ref[pos].astype(jnp.float32)  # [B, R]
+            ring_ref[pos] = current.astype(ring_ref.dtype)
             x_cat = jnp.concatenate([past, current], axis=-1)  # [B, 2R]
             fg = jnp.dot(x_cat.astype(layer_w_ref.dtype), layer_w_ref[i],
                          preferred_element_type=jnp.float32)
@@ -232,12 +234,12 @@ def _sampler_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("config", "n_total", "n_forced", "batch_size",
-                     "temperature", "collect_logits"))
+                     "temperature", "collect_logits", "state_dtype"))
 def _run_sampler_kernel(packed: PackedSampler, forced: jnp.ndarray,
                         seed: jnp.ndarray,
                         config: WaveNetConfig, n_total: int, n_forced: int,
                         batch_size: int, temperature: float,
-                        collect_logits: bool):
+                        collect_logits: bool, state_dtype=jnp.float32):
     c = config
     B, Q, R = batch_size, c.quantization_channels, c.residual_channels
     sum_d = sum(c.dilations)
@@ -253,7 +255,7 @@ def _run_sampler_kernel(packed: PackedSampler, forced: jnp.ndarray,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         scratch_shapes=[
-            pltpu.VMEM((sum_d, B, R), jnp.float32),
+            pltpu.VMEM((sum_d, B, R), state_dtype),
             pltpu.VMEM((B, c.input_channels), jnp.float32),
         ],
     )
@@ -297,7 +299,8 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
                     seed_codes: Optional[jnp.ndarray] = None,
                     collect_logits: bool = False,
                     interpret: bool = False,
-                    weight_dtype=jnp.float32):
+                    weight_dtype=jnp.float32,
+                    state_dtype=jnp.float32):
     """Generate mu-law codes [B, n_samples] in a single kernel launch.
 
     ``seed_codes`` [B, T_seed] teacher-forces the first T_seed steps (queue
@@ -330,7 +333,7 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
         forced = forced[:n_total]
 
     args = (packed, forced, jnp.asarray([seed], jnp.int32), c, n_total,
-            n_forced, B, temperature, collect_logits)
+            n_forced, B, temperature, collect_logits, state_dtype)
     if interpret:
         with pltpu.force_tpu_interpret_mode():
             codes, logits = _run_sampler_kernel(*args)

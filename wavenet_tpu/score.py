@@ -1,0 +1,54 @@
+"""Teacher-forced scoring: per-sample log-likelihood of given audio.
+
+The reference exposes next-sample probabilities (``predict_proba``) but no
+batch scoring utility; this is the deployment-shaped counterpart — one
+jit'd forward over the whole waveform scores every position at once
+(~5 orders of magnitude faster than an autoregressive probe loop).
+
+Uses the gather-based integer-code forward, so scoring runs at training
+forward speed (hundreds of audio-seconds per second per chip).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from wavenet_tpu.audio import mu_law_encode
+from wavenet_tpu.models.config import WaveNetConfig
+from wavenet_tpu.models.wavenet import Params, embed_gc, forward, forward_codes
+
+
+@partial(jax.jit, static_argnames=("config",))
+def log_likelihood(params: Params, config: WaveNetConfig,
+                   audio: jnp.ndarray,
+                   gc_ids: Optional[jnp.ndarray] = None):
+    """Log-likelihoods of a waveform under the model.
+
+    audio: float waveform [B, T] in [-1, 1] (NOT pre-padded; positions
+    before the receptive field are scored with the available context,
+    causal-zero padded like training).
+
+    Returns a dict:
+      logp_per_sample [B, T-1] — log p(x_{t+1} | x_{<=t}) for t=0..T-2
+      total_logp      [B]      — sum over scored positions
+      bits_per_sample [B]      — -total_logp / ((T-1) * ln 2)
+    """
+    c = config
+    codes = mu_law_encode(audio, c.quantization_channels)       # [B, T]
+    gc_emb = embed_gc(params, c, gc_ids) if gc_ids is not None else None
+    if c.scalar_input:
+        net_in = audio[:, :-1, None].astype(jnp.float32)
+        logits = forward(params, c, net_in, gc_emb)
+    else:
+        logits = forward_codes(params, c, codes[:, :-1], gc_emb)
+    logp = jax.nn.log_softmax(logits, axis=-1)                  # [B, T-1, Q]
+    target = codes[:, 1:]
+    per = jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
+    total = jnp.sum(per, axis=-1)
+    bits = -total / (per.shape[-1] * jnp.log(2.0))
+    return {"logp_per_sample": per, "total_logp": total,
+            "bits_per_sample": bits}
