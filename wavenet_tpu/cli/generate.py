@@ -169,20 +169,30 @@ def _generate_fast(params, config, args, key, gc_ids, seed_codes):
         generate_pallas, sampler_vmem_bytes)
     from wavenet_tpu.sample import generate
 
+    import jax.numpy as jnp_
+    budget = 12 * 1024 * 1024
+    eligible = (config.filter_width == 2 and not config.scalar_input
+                and jax.devices()[0].platform != "cpu")
+    state_dtype = jnp_.float32
     use_pallas = args.sampler == "pallas"
-    if args.sampler == "auto":
-        fits = sampler_vmem_bytes(config, args.batch_size,
-                                  args.samples) < 12 * 1024 * 1024
-        use_pallas = (fits and config.filter_width == 2
-                      and not config.scalar_input
-                      and jax.devices()[0].platform != "cpu")
+    if args.sampler == "auto" and eligible:
+        if sampler_vmem_bytes(config, args.batch_size,
+                              args.samples) < budget:
+            use_pallas = True
+        elif sampler_vmem_bytes(config, args.batch_size, args.samples,
+                                state_bytes=2) < budget:
+            # bf16 ring buffers: ~1e-2 logits drift, 2x batch headroom.
+            use_pallas, state_dtype = True, jnp_.bfloat16
     if use_pallas:
-        print("Using fused Pallas sampler.")
+        print("Using fused Pallas sampler"
+              + (" (bf16 ring state)." if state_dtype == jnp_.bfloat16
+                 else "."))
         return generate_pallas(
             params, config, args.samples,
             seed=args.seed if args.seed is not None else 0,
             batch_size=args.batch_size, gc_ids=gc_ids,
-            temperature=args.temperature, seed_codes=seed_codes)
+            temperature=args.temperature, seed_codes=seed_codes,
+            state_dtype=state_dtype)
     print("Using lax.scan sampler.")
     return generate(params, config, args.samples, key,
                     batch_size=args.batch_size, gc_ids=gc_ids,

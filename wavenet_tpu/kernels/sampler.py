@@ -274,7 +274,8 @@ def _run_sampler_kernel(packed: PackedSampler, forced: jnp.ndarray,
 
 
 def sampler_vmem_bytes(config: WaveNetConfig, batch_size: int,
-                       n_samples: int, collect_logits: bool = False) -> int:
+                       n_samples: int, collect_logits: bool = False,
+                       state_bytes: int = 4) -> int:
     """Rough VMEM footprint of the kernel (weights + state + outputs).
 
     Used to decide pallas-vs-scan automatically: the whole working set must
@@ -287,9 +288,10 @@ def sampler_vmem_bytes(config: WaveNetConfig, batch_size: int,
     B = batch_size
     weights = (2 * c.input_channels * R + L * (2 * R * 2 * D + B * 2 * D
                + D * (R + S) + (R + S)) + S * S + S + S * Q + Q)
-    state = sum(c.dilations) * B * R + B * c.input_channels
+    state = sum(c.dilations) * B * R
     outputs = n_samples * B + (n_samples if collect_logits else 1) * B * Q
-    return 4 * (weights + state + outputs)
+    return (4 * (weights + outputs + B * c.input_channels)
+            + state_bytes * state)
 
 
 def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
