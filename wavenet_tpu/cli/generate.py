@@ -174,6 +174,7 @@ def _generate_fast(params, config, args, key, gc_ids, seed_codes):
     eligible = (config.filter_width == 2 and not config.scalar_input
                 and jax.devices()[0].platform != "cpu")
     state_dtype = jnp_.float32
+    batch_chunk = 0
     use_pallas = args.sampler == "pallas"
     if args.sampler == "auto" and eligible:
         if sampler_vmem_bytes(config, args.batch_size,
@@ -183,16 +184,27 @@ def _generate_fast(params, config, args, key, gc_ids, seed_codes):
                                 state_bytes=2) < budget:
             # bf16 ring buffers: ~1e-2 logits drift, 2x batch headroom.
             use_pallas, state_dtype = True, jnp_.bfloat16
+        else:
+            # Chunk the batch over the sequential grid: each program
+            # owns <=16 streams with its own VMEM ring state.
+            for bc in (16, 8, 4, 2, 1):
+                if args.batch_size % bc:
+                    continue
+                if sampler_vmem_bytes(config, bc, args.samples,
+                                      state_bytes=2) < budget:
+                    use_pallas, state_dtype = True, jnp_.bfloat16
+                    batch_chunk = bc
+                    break
     if use_pallas:
-        print("Using fused Pallas sampler"
-              + (" (bf16 ring state)." if state_dtype == jnp_.bfloat16
-                 else "."))
+        mode = (" (bf16 ring state)" if state_dtype == jnp_.bfloat16 else "")
+        chunk = (f" in batch chunks of {batch_chunk}" if batch_chunk else "")
+        print(f"Using fused Pallas sampler{mode}{chunk}.")
         return generate_pallas(
             params, config, args.samples,
             seed=args.seed if args.seed is not None else 0,
             batch_size=args.batch_size, gc_ids=gc_ids,
             temperature=args.temperature, seed_codes=seed_codes,
-            state_dtype=state_dtype)
+            state_dtype=state_dtype, batch_chunk=batch_chunk)
     print("Using lax.scan sampler.")
     return generate(params, config, args.samples, key,
                     batch_size=args.batch_size, gc_ids=gc_ids,

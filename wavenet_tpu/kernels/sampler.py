@@ -137,12 +137,13 @@ def _sampler_kernel(
     # inputs
     causal_w_ref, layer_w_ref, layer_add_ref, proj_w_ref, proj_add_ref,
     post1_w_ref, post1_b_ref, post2_w_ref, post2_b_ref,
-    forced_ref,          # [n_total, B] int32, TIME-MAJOR: Mosaic only
-                         #  allows dynamic slicing on sublane/batch dims,
-                         #  so the dynamic time index must not be on lanes
+    forced_ref,          # [1, n_total, bc] int32 — time-major (dynamic
+                         #  time index must be on a sublane/batch dim) with
+                         #  a leading batch-CHUNK dim (lane dims cannot be
+                         #  block-sliced, so chunking rides dim 0)
     # outputs
-    codes_ref,           # [n_total, B] int32 (time-major, same reason)
-    logits_ref,          # [n_total | 1, B, Q] f32
+    codes_ref,           # [1, n_total, bc] int32
+    logits_ref,          # [1, n_total | 1, bc, Q] f32
     # scratch
     ring_ref,            # [sum_d, B, R] f32
     causal_buf_ref,      # [B, C_in] f32 (previous input, kw=2)
@@ -158,7 +159,9 @@ def _sampler_kernel(
     B = batch_size
     C_in = c.input_channels
 
-    pltpu.prng_seed(seed_ref[0])
+    # One program per batch chunk (grid over batch); decorrelate the
+    # sampling streams across chunks.
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
     ring_ref[...] = jnp.zeros_like(ring_ref)
     causal_buf_ref[...] = jnp.zeros_like(causal_buf_ref)
@@ -186,7 +189,7 @@ def _sampler_kernel(
             x_cat = jnp.concatenate([past, current], axis=-1)  # [B, 2R]
             fg = jnp.dot(x_cat.astype(layer_w_ref.dtype), layer_w_ref[i],
                          preferred_element_type=jnp.float32)
-            fg = fg + layer_add_ref[i]
+            fg = fg + layer_add_ref[0, i]
             out = jnp.tanh(fg[:, :D]) * jax.nn.sigmoid(fg[:, D:])
             ds = jnp.dot(out.astype(proj_w_ref.dtype), proj_w_ref[i],
                          preferred_element_type=jnp.float32)
@@ -218,59 +221,88 @@ def _sampler_kernel(
         logits = step(t, x_col)
         # When logits collection is off the output buffer has one row —
         # wrap the index so every step writes in-bounds (last write wins).
-        logits_ref[lax.rem(t, logits_ref.shape[0])] = logits
+        logits_ref[0, lax.rem(t, logits_ref.shape[1])] = logits
         sampled = sample_from(logits)  # [B, 1]
         nxt = jnp.minimum(t + 1, n_total - 1)
-        forced_next = jnp.transpose(forced_ref[pl.ds(nxt, 1), :])  # [B, 1]
+        forced_next = jnp.transpose(forced_ref[0, pl.ds(nxt, 1), :])  # [B,1]
         next_col = jnp.where(t + 1 < n_forced, forced_next, sampled)
         emitted = jnp.where(t < n_forced - 1, forced_next, sampled)
-        codes_ref[pl.ds(t, 1), :] = jnp.transpose(emitted)  # [1, B]
+        codes_ref[0, pl.ds(t, 1), :] = jnp.transpose(emitted)  # [1, B]
         return next_col
 
-    first = jnp.transpose(forced_ref[pl.ds(0, 1), :])  # [B, 1]
+    first = jnp.transpose(forced_ref[0, pl.ds(0, 1), :])  # [B, 1]
     lax.fori_loop(0, n_total, body, first, unroll=False)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("config", "n_total", "n_forced", "batch_size",
-                     "temperature", "collect_logits", "state_dtype"))
+                     "temperature", "collect_logits", "state_dtype",
+                     "batch_chunk"))
 def _run_sampler_kernel(packed: PackedSampler, forced: jnp.ndarray,
                         seed: jnp.ndarray,
                         config: WaveNetConfig, n_total: int, n_forced: int,
                         batch_size: int, temperature: float,
-                        collect_logits: bool, state_dtype=jnp.float32):
+                        collect_logits: bool, state_dtype=jnp.float32,
+                        batch_chunk: int = 0):
     c = config
     B, Q, R = batch_size, c.quantization_channels, c.residual_channels
     sum_d = sum(c.dilations)
+    bc = batch_chunk if batch_chunk else B
+    if B % bc != 0:
+        raise ValueError(f"batch {B} not divisible by chunk {bc}")
+    nb = B // bc
     kernel = functools.partial(
         _sampler_kernel, config=c, offsets=ring_offsets(c),
-        n_total=n_total, n_forced=n_forced, batch_size=B,
+        n_total=n_total, n_forced=n_forced, batch_size=bc,
         inv_temperature=1.0 / temperature)
 
+    # Grid over batch chunks: each (sequential) program generates its own
+    # bc streams with chunk-local ring state and a decorrelated PRNG.
+    # Lane dims can't be block-sliced, so the chunk axis leads.
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    n_log = n_total if collect_logits else 1
+    L, D = c.num_layers, c.dilation_channels
+    # [n_total, B] -> [nb, n_total, bc]; [L, B, 2D] -> [nb, L, bc, 2D].
+    forced_c = jnp.moveaxis(forced.reshape(n_total, nb, bc), 1, 0)
+    add_c = jnp.moveaxis(packed.layer_add.reshape(L, nb, bc, 2 * D), 1, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        grid=(nb,),
+        in_specs=[
+            full(),                                             # causal_w
+            full(),                                             # layer_w
+            pl.BlockSpec((1, L, bc, 2 * D), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(), full(), full(), full(), full(), full(),
+            pl.BlockSpec((1, n_total, bc), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),               # forced
+        ],
+        out_specs=(
+            pl.BlockSpec((1, n_total, bc), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_log, bc, Q), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
         scratch_shapes=[
-            pltpu.VMEM((sum_d, B, R), state_dtype),
-            pltpu.VMEM((B, c.input_channels), jnp.float32),
+            pltpu.VMEM((sum_d, bc, R), state_dtype),
+            pltpu.VMEM((bc, c.input_channels), jnp.float32),
         ],
     )
     codes, logits = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((n_total, B), jnp.int32),
-            jax.ShapeDtypeStruct((n_total if collect_logits else 1, B, Q),
-                                 jnp.float32),
+            jax.ShapeDtypeStruct((nb, n_total, bc), jnp.int32),
+            jax.ShapeDtypeStruct((nb, n_log, bc, Q), jnp.float32),
         ),
-    )(seed, packed.causal_w, packed.layer_w, packed.layer_add,
+    )(seed, packed.causal_w, packed.layer_w, add_c,
       packed.proj_w, packed.proj_add, packed.post1_w, packed.post1_b,
-      packed.post2_w, packed.post2_b, forced)
-    return jnp.transpose(codes), logits
+      packed.post2_w, packed.post2_b, forced_c)
+    # [nb, n_total, bc] -> [B, n_total]; [nb, n_log, bc, Q] -> [n_log, B, Q]
+    codes_bt = jnp.moveaxis(codes, 0, 1).reshape(n_total, B)
+    logits_out = jnp.moveaxis(logits, 0, 1).reshape(n_log, B, Q)
+    return jnp.transpose(codes_bt), logits_out
 
 
 def sampler_vmem_bytes(config: WaveNetConfig, batch_size: int,
@@ -302,7 +334,8 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
                     collect_logits: bool = False,
                     interpret: bool = False,
                     weight_dtype=jnp.float32,
-                    state_dtype=jnp.float32):
+                    state_dtype=jnp.float32,
+                    batch_chunk: int = 0):
     """Generate mu-law codes [B, n_samples] in a single kernel launch.
 
     ``seed_codes`` [B, T_seed] teacher-forces the first T_seed steps (queue
@@ -335,7 +368,8 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
         forced = forced[:n_total]
 
     args = (packed, forced, jnp.asarray([seed], jnp.int32), c, n_total,
-            n_forced, B, temperature, collect_logits, state_dtype)
+            n_forced, B, temperature, collect_logits, state_dtype,
+            batch_chunk)
     if interpret:
         with pltpu.force_tpu_interpret_mode():
             codes, logits = _run_sampler_kernel(*args)
