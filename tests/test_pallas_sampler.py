@@ -111,3 +111,24 @@ def test_batch_chunked_matches_full(rng):
                                      batch_size=4, interpret=True,
                                      batch_chunk=1))
     assert out.shape == (4, 40)
+
+
+def test_scalar_input_pallas_matches_forward(rng):
+    # Scalar-input mode: teacher-forced logits == full conv forward, and
+    # free-running generation feeds back decoded amplitudes.
+    cfg = small_config(scalar_input=True, initial_filter_width=4)
+    params = init_params(jax.random.PRNGKey(4), cfg)
+    B, T = 2, cfg.receptive_field + 6
+    audio = jnp.asarray(rng.uniform(-1, 1, (B, T)).astype(np.float32))
+
+    _, logits = generate_pallas(params, cfg, n_samples=1, seed=0,
+                                batch_size=B, seed_codes=audio,
+                                collect_logits=True, interpret=True)
+    full = forward(params, cfg, audio[..., None])
+    np.testing.assert_allclose(np.asarray(logits[:, :T, :]),
+                               np.asarray(full), rtol=1e-4, atol=1e-5)
+
+    codes = np.asarray(generate_pallas(params, cfg, n_samples=25, seed=3,
+                                       batch_size=B, interpret=True))
+    assert codes.shape == (B, 25)
+    assert codes.min() >= 0 and codes.max() < cfg.quantization_channels

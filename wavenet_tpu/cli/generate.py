@@ -171,7 +171,7 @@ def _generate_fast(params, config, args, key, gc_ids, seed_codes):
 
     import jax.numpy as jnp_
     budget = 12 * 1024 * 1024
-    eligible = (config.filter_width == 2 and not config.scalar_input
+    eligible = (config.filter_width == 2
                 and jax.devices()[0].platform != "cpu")
     state_dtype = jnp_.float32
     batch_chunk = 0

@@ -137,7 +137,8 @@ def _sampler_kernel(
     # inputs
     causal_w_ref, layer_w_ref, layer_add_ref, proj_w_ref, proj_add_ref,
     post1_w_ref, post1_b_ref, post2_w_ref, post2_b_ref,
-    forced_ref,          # [1, n_total, bc] int32 — time-major (dynamic
+    forced_ref,          # [1, n_total, bc] — int codes (mu-law mode) or
+                         #  f32 amplitudes (scalar mode); time-major (dynamic
                          #  time index must be on a sublane/batch dim) with
                          #  a leading batch-CHUNK dim (lane dims cannot be
                          #  block-sliced, so chunking rides dim 0)
@@ -166,20 +167,31 @@ def _sampler_kernel(
     ring_ref[...] = jnp.zeros_like(ring_ref)
     causal_buf_ref[...] = jnp.zeros_like(causal_buf_ref)
 
-    def one_hot(code_col):  # [B, 1] int32 -> [B, C_in] f32
+    def featurize(x_col):  # [B, 1] f32 carry -> [B, C_in] features
+        if c.scalar_input:
+            return x_col                       # raw amplitude, C_in == 1
         iota = lax.broadcasted_iota(jnp.int32, (B, C_in), 1)
-        return (iota == code_col).astype(jnp.float32)
+        return (iota.astype(jnp.float32) == x_col).astype(jnp.float32)
+
+    mu = float(Q - 1)
+
+    def decode_amp(code_f):    # mu-law decode (audio.py formulas), [B, 1]
+        sgn = 2.0 * (code_f / mu) - 1.0
+        mag = (1.0 / mu) * (jnp.exp(jnp.abs(sgn) * float(np.log1p(mu)))
+                            - 1.0)
+        return jnp.sign(sgn) * mag
 
     def step(t, x_col):
-        """x_col [B, 1] int32 -> logits [B, Q], updating all queues."""
-        x = one_hot(x_col)
-        # Causal layer: window = [prev | current] flattened on K.
-        prev = causal_buf_ref[...]
+        """x_col [B, 1] f32 carry -> logits [B, Q], updating queues."""
+        x = featurize(x_col)
+        # Causal layer: window = [oldest .. prev | current], flattened
+        # on K. The shift register holds the last kw-1 feature vectors.
+        prev = causal_buf_ref[...]             # [B, (kw-1)*C_in]
         window = jnp.concatenate([prev, x], axis=-1)  # [B, kw*C_in]
         current = jnp.dot(window.astype(causal_w_ref.dtype),
                           causal_w_ref[...],
                           preferred_element_type=jnp.float32)  # [B, R]
-        causal_buf_ref[...] = x
+        causal_buf_ref[...] = window[:, C_in:]
 
         skip_sum = jnp.zeros((B, S), jnp.float32)
         for i, dilation in enumerate(c.dilations):
@@ -222,15 +234,33 @@ def _sampler_kernel(
         # When logits collection is off the output buffer has one row —
         # wrap the index so every step writes in-bounds (last write wins).
         logits_ref[0, lax.rem(t, logits_ref.shape[1])] = logits
-        sampled = sample_from(logits)  # [B, 1]
+        sampled = sample_from(logits)  # [B, 1] int32
         nxt = jnp.minimum(t + 1, n_total - 1)
         forced_next = jnp.transpose(forced_ref[0, pl.ds(nxt, 1), :])  # [B,1]
-        next_col = jnp.where(t + 1 < n_forced, forced_next, sampled)
-        emitted = jnp.where(t < n_forced - 1, forced_next, sampled)
+        take_forced = t + 1 < n_forced
+        emitted = jnp.where(
+            t < n_forced - 1,
+            (mu_law_encode_f(forced_next) if c.scalar_input
+             else forced_next.astype(jnp.int32)),
+            sampled)
         codes_ref[0, pl.ds(t, 1), :] = jnp.transpose(emitted)  # [1, B]
+        if c.scalar_input:
+            # Feed back the decoded amplitude of the sampled class; the
+            # forced stream is already amplitudes.
+            next_col = jnp.where(take_forced, forced_next,
+                                 decode_amp(sampled.astype(jnp.float32)))
+        else:
+            next_col = jnp.where(take_forced, forced_next,
+                                 sampled.astype(jnp.float32))
         return next_col
 
-    first = jnp.transpose(forced_ref[0, pl.ds(0, 1), :])  # [B, 1]
+    def mu_law_encode_f(amp):   # [B, 1] f32 -> int32 codes
+        safe = jnp.minimum(jnp.abs(amp), 1.0)
+        magnitude = jnp.log1p(mu * safe) * float(1.0 / np.log1p(mu))
+        signal = jnp.sign(amp) * magnitude
+        return ((signal + 1.0) / 2.0 * mu + 0.5).astype(jnp.int32)
+
+    first = jnp.transpose(forced_ref[0, pl.ds(0, 1), :]).astype(jnp.float32)
     lax.fori_loop(0, n_total, body, first, unroll=False)
 
 
@@ -252,6 +282,7 @@ def _run_sampler_kernel(packed: PackedSampler, forced: jnp.ndarray,
     if B % bc != 0:
         raise ValueError(f"batch {B} not divisible by chunk {bc}")
     nb = B // bc
+    kw_in = (c.initial_filter_width if c.scalar_input else c.filter_width)
     kernel = functools.partial(
         _sampler_kernel, config=c, offsets=ring_offsets(c),
         n_total=n_total, n_forced=n_forced, batch_size=bc,
@@ -286,7 +317,7 @@ def _run_sampler_kernel(packed: PackedSampler, forced: jnp.ndarray,
         ),
         scratch_shapes=[
             pltpu.VMEM((sum_d, bc, R), state_dtype),
-            pltpu.VMEM((bc, c.input_channels), jnp.float32),
+            pltpu.VMEM((bc, (kw_in - 1) * c.input_channels), jnp.float32),
         ],
     )
     codes, logits = pl.pallas_call(
@@ -346,24 +377,27 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
     c = config
     if c.filter_width != 2:
         raise NotImplementedError("Pallas sampler requires filter_width=2")
-    if c.scalar_input:
-        raise NotImplementedError("Pallas sampler is mu-law-path only")
     B = batch_size
 
     gc_emb = embed_gc(params, c, gc_ids) if gc_ids is not None else None
     packed = pack_sampler_weights(params, c, B, gc_emb, weight_dtype)
 
+    # In scalar-input mode seed_codes are raw AMPLITUDES [B, T] f32 and
+    # the unseeded start is silence (0.0); in mu-law mode they are int
+    # classes and silence is Q//2.
+    fdtype = jnp.float32 if c.scalar_input else jnp.int32
     if seed_codes is None:
-        silence = jnp.full((B, 1), c.quantization_channels // 2, jnp.int32)
-        seed_codes = silence
+        seed_codes = (jnp.zeros((B, 1), jnp.float32) if c.scalar_input
+                      else jnp.full((B, 1), c.quantization_channels // 2,
+                                    jnp.int32))
     n_forced = int(seed_codes.shape[1])
     n_total = n_forced - 1 + n_samples
 
-    forced = jnp.transpose(seed_codes.astype(jnp.int32))  # [Tf, B]
+    forced = jnp.transpose(seed_codes.astype(fdtype))  # [Tf, B]
     pad = n_total - n_forced
     if pad > 0:
         forced = jnp.concatenate(
-            [forced, jnp.zeros((pad, B), jnp.int32)], axis=0)
+            [forced, jnp.zeros((pad, B), fdtype)], axis=0)
     elif pad < 0:
         forced = forced[:n_total]
 
