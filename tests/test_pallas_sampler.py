@@ -132,3 +132,48 @@ def test_scalar_input_pallas_matches_forward(rng):
                                        batch_size=B, interpret=True))
     assert codes.shape == (B, 25)
     assert codes.min() >= 0 and codes.max() < cfg.quantization_channels
+
+
+@pytest.mark.parametrize("spec", [
+    dict(dilations=(1, 1, 2, 2), quantization_channels=64,
+         residual_channels=8, dilation_channels=8, skip_channels=8,
+         use_biases=False),
+    dict(dilations=(1, 3, 9), quantization_channels=16,
+         residual_channels=4, dilation_channels=8, skip_channels=32,
+         use_biases=True),                      # non-power-of-2 dilations
+    dict(dilations=(1, 2, 4, 8, 16, 32), quantization_channels=32,
+         residual_channels=16, dilation_channels=4, skip_channels=8,
+         use_biases=True, gc_channels=6, gc_cardinality=11),
+])
+def test_parity_sweep_configs(spec, rng):
+    # Sweep odd configurations (repeated dilations, non-power-of-2, R!=D,
+    # no biases, non-square gc): pallas forced logits == conv forward ==
+    # scan sampler.
+    from wavenet_tpu.sample import init_sampler_state, sampler_step
+    cfg = WaveNetConfig(**spec)
+    params = init_params(jax.random.PRNGKey(7), cfg)
+    B, T = 2, cfg.receptive_field + 4
+    codes = jnp.asarray(rng.randint(0, cfg.quantization_channels, (B, T)))
+    gc_ids = (jnp.asarray([0, spec.get("gc_cardinality", 1) - 1])
+              if cfg.gc_enabled else None)
+    gc_emb = embed_gc(params, cfg, gc_ids) if cfg.gc_enabled else None
+
+    full = np.asarray(forward(params, cfg,
+                              one_hot(codes, cfg.quantization_channels),
+                              gc_emb))
+    _, logits_p = generate_pallas(params, cfg, n_samples=1, seed=0,
+                                  batch_size=B, gc_ids=gc_ids,
+                                  seed_codes=codes, collect_logits=True,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(logits_p[:, :T, :]), full,
+                               rtol=1e-4, atol=1e-5)
+
+    state = init_sampler_state(cfg, B)
+    outs = []
+    for t in range(T):
+        state, lg = sampler_step(params, cfg, state,
+                                 one_hot(codes[:, t],
+                                         cfg.quantization_channels), gc_emb)
+        outs.append(np.asarray(lg))
+    np.testing.assert_allclose(np.stack(outs, 1), full, rtol=1e-4,
+                               atol=1e-5)

@@ -253,6 +253,12 @@ def main(argv=None):
                 state, metrics = train_step(state, audio, gc_ids)
 
             loss_value = float(jax.device_get(metrics["loss"]))
+            if not np.isfinite(loss_value):
+                # Save what we have and stop rather than training on NaNs
+                # (the reference would silently continue).
+                print(f"step {step} - NON-FINITE loss ({loss_value}); "
+                      "saving last state and stopping.")
+                break
             duration = timer.lap()
             aps = audio_seconds_per_second(
                 audio.shape[0] * audio.shape[1],
