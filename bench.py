@@ -39,7 +39,8 @@ def _timed(fn, *, reps=1):
 
 
 def bench_generation_pallas(batch_size: int, n_samples: int = 16000,
-                            state_dtype=None, batch_chunk: int = 0):
+                            state_dtype=None, batch_chunk: int = 0,
+                            ring_in_hbm: bool = False):
     from wavenet_tpu.models.config import paper_config
     from wavenet_tpu.models.wavenet import init_params
     from wavenet_tpu.kernels.sampler import generate_pallas
@@ -49,6 +50,8 @@ def bench_generation_pallas(batch_size: int, n_samples: int = 16000,
     kw = {} if state_dtype is None else {"state_dtype": state_dtype}
     if batch_chunk:
         kw["batch_chunk"] = batch_chunk
+    if ring_in_hbm:
+        kw["ring_in_hbm"] = True
     dt = _timed(lambda: generate_pallas(params, config, n_samples, seed=2,
                                         batch_size=batch_size, **kw), reps=3)
     return batch_size * n_samples / dt
@@ -105,8 +108,7 @@ def main():
     gen_b1 = bench_generation_pallas(1)
     gen_b8 = bench_generation_pallas(8)
     gen_b16 = bench_generation_pallas(16, state_dtype=jnp.bfloat16)
-    gen_b64 = bench_generation_pallas(64, state_dtype=jnp.bfloat16,
-                                      batch_chunk=16)
+    gen_b64 = bench_generation_pallas(64, ring_in_hbm=True)
     gen_b64_scan = bench_generation_scan(64, n_samples=4000)
     train_bf16 = bench_training(batch_size=8, compute_dtype="bfloat16")
     train_fp32 = bench_training(batch_size=2, compute_dtype="float32")
@@ -118,7 +120,7 @@ def main():
         "extra": {
             "gen_samples_per_s_b8_pallas": round(gen_b8, 2),
             "gen_samples_per_s_b16_pallas_bf16ring": round(gen_b16, 2),
-            "gen_samples_per_s_b64_pallas_chunked": round(gen_b64, 2),
+            "gen_samples_per_s_b64_pallas_hbm_ring": round(gen_b64, 2),
             "gen_samples_per_s_b64_scan": round(gen_b64_scan, 2),
             "train_audio_sec_per_s_bf16_b8": round(train_bf16, 3),
             "train_audio_sec_per_s_fp32_b2": round(train_fp32, 3),

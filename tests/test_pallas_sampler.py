@@ -177,3 +177,24 @@ def test_parity_sweep_configs(spec, rng):
         outs.append(np.asarray(lg))
     np.testing.assert_allclose(np.stack(outs, 1), full, rtol=1e-4,
                                atol=1e-5)
+
+
+def test_hbm_ring_matches_forward(rng):
+    # The HBM-ring single-pass kernel must produce the same teacher-forced
+    # logits as the conv forward.
+    cfg = small_config()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    B, T = 3, cfg.receptive_field + 5
+    codes = jnp.asarray(rng.randint(0, cfg.quantization_channels, (B, T)))
+    _, logits = generate_pallas(params, cfg, n_samples=1, seed=0,
+                                batch_size=B, seed_codes=codes,
+                                collect_logits=True, interpret=True,
+                                ring_in_hbm=True)
+    full = forward(params, cfg, one_hot(codes, cfg.quantization_channels))
+    np.testing.assert_allclose(np.asarray(logits[:, :T, :]),
+                               np.asarray(full), rtol=1e-4, atol=1e-5)
+
+    out = np.asarray(generate_pallas(params, cfg, n_samples=20, seed=3,
+                                     batch_size=B, interpret=True,
+                                     ring_in_hbm=True))
+    assert out.shape == (B, 20)

@@ -166,7 +166,7 @@ def main(argv=None):
 def _generate_fast(params, config, args, key, gc_ids, seed_codes):
     """Pick the fused Pallas VMEM kernel when it fits, else the scan path."""
     from wavenet_tpu.kernels.sampler import (
-        generate_pallas, sampler_vmem_bytes)
+        generate_pallas, hbm_sampler_vmem_bytes, sampler_vmem_bytes)
     from wavenet_tpu.sample import generate
 
     import jax.numpy as jnp_
@@ -175,6 +175,7 @@ def _generate_fast(params, config, args, key, gc_ids, seed_codes):
                 and jax.devices()[0].platform != "cpu")
     state_dtype = jnp_.float32
     batch_chunk = 0
+    ring_in_hbm = False
     use_pallas = args.sampler == "pallas"
     if args.sampler == "auto" and eligible:
         if sampler_vmem_bytes(config, args.batch_size,
@@ -184,9 +185,13 @@ def _generate_fast(params, config, args, key, gc_ids, seed_codes):
                                 state_bytes=2) < budget:
             # bf16 ring buffers: ~1e-2 logits drift, 2x batch headroom.
             use_pallas, state_dtype = True, jnp_.bfloat16
+        elif hbm_sampler_vmem_bytes(config, args.batch_size,
+                                    args.samples) < budget:
+            # Ring state in HBM, rows streamed per layer: one pass over
+            # all streams (fastest large-batch path).
+            use_pallas, ring_in_hbm = True, True
         else:
-            # Chunk the batch over the sequential grid: each program
-            # owns <=16 streams with its own VMEM ring state.
+            # Last resort: sequential <=16-stream chunks over the grid.
             for bc in (16, 8, 4, 2, 1):
                 if args.batch_size % bc:
                     continue
@@ -197,6 +202,7 @@ def _generate_fast(params, config, args, key, gc_ids, seed_codes):
                     break
     if use_pallas:
         mode = (" (bf16 ring state)" if state_dtype == jnp_.bfloat16 else "")
+        mode += " (HBM ring)" if ring_in_hbm else ""
         chunk = (f" in batch chunks of {batch_chunk}" if batch_chunk else "")
         print(f"Using fused Pallas sampler{mode}{chunk}.")
         return generate_pallas(
@@ -204,7 +210,8 @@ def _generate_fast(params, config, args, key, gc_ids, seed_codes):
             seed=args.seed if args.seed is not None else 0,
             batch_size=args.batch_size, gc_ids=gc_ids,
             temperature=args.temperature, seed_codes=seed_codes,
-            state_dtype=state_dtype, batch_chunk=batch_chunk)
+            state_dtype=state_dtype, batch_chunk=batch_chunk,
+            ring_in_hbm=ring_in_hbm)
     print("Using lax.scan sampler.")
     return generate(params, config, args.samples, key,
                     batch_size=args.batch_size, gc_ids=gc_ids,

@@ -357,6 +357,23 @@ def sampler_vmem_bytes(config: WaveNetConfig, batch_size: int,
             + state_bytes * state)
 
 
+def hbm_sampler_vmem_bytes(config: WaveNetConfig, batch_size: int,
+                           n_samples: int) -> int:
+    """VMEM footprint of the HBM-ring path (ring itself lives in HBM):
+    dominated by the forced/codes blocks and the lane-padded row slots."""
+    c = config
+    L, R, S, Q = (c.num_layers, c.residual_channels, c.skip_channels,
+                  c.quantization_channels)
+    B = batch_size
+    weights = (2 * c.input_channels * R
+               + L * (2 * R * 2 * c.dilation_channels + B * 2 * c.dilation_channels
+                      + c.dilation_channels * (R + S) + (R + S))
+               + S * S + S + S * Q + Q)
+    streams = 2 * n_samples * B          # forced + codes int32
+    slots = 2 * L * B * 128 + 64 * B * 128
+    return 4 * (weights + streams + slots + B * Q)
+
+
 def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
                     seed: int, batch_size: int = 1,
                     gc_ids: Optional[jnp.ndarray] = None,
@@ -366,7 +383,8 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
                     interpret: bool = False,
                     weight_dtype=jnp.float32,
                     state_dtype=jnp.float32,
-                    batch_chunk: int = 0):
+                    batch_chunk: int = 0,
+                    ring_in_hbm: bool = False):
     """Generate mu-law codes [B, n_samples] in a single kernel launch.
 
     ``seed_codes`` [B, T_seed] teacher-forces the first T_seed steps (queue
@@ -401,6 +419,23 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
     elif pad < 0:
         forced = forced[:n_total]
 
+    if ring_in_hbm:
+        # Single-pass HBM-ring path: forced needs the chunk-major [1, T, B]
+        # layout the kernel shares with the chunked variant.
+        forced_c = forced.reshape(n_total, 1, B)
+        forced_c = jnp.moveaxis(forced_c, 1, 0)
+        args_h = (packed, forced_c, jnp.asarray([seed], jnp.int32), c,
+                  n_total, n_forced, B, temperature, collect_logits)
+        if interpret:
+            with pltpu.force_tpu_interpret_mode():
+                codes, logits = _run_sampler_kernel_hbm(*args_h)
+        else:
+            codes, logits = _run_sampler_kernel_hbm(*args_h)
+        out_codes = codes[:, n_forced - 1:]
+        if collect_logits:
+            return out_codes, jnp.moveaxis(logits, 0, 1)
+        return out_codes
+
     args = (packed, forced, jnp.asarray([seed], jnp.int32), c, n_total,
             n_forced, B, temperature, collect_logits, state_dtype,
             batch_chunk)
@@ -414,3 +449,238 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
     if collect_logits:
         return out_codes, jnp.moveaxis(logits, 0, 1)  # [B, n_total, Q]
     return out_codes
+
+
+# ---------------------------------------------------------------------------
+# HBM-ring variant: batches beyond the VMEM ceiling in ONE pass
+# ---------------------------------------------------------------------------
+
+def _sampler_kernel_hbm(
+    # scalar prefetch
+    seed_ref,
+    # inputs
+    causal_w_ref, layer_w_ref, layer_add_ref, proj_w_ref, proj_add_ref,
+    post1_w_ref, post1_b_ref, post2_w_ref, post2_b_ref,
+    forced_ref,          # [1, n_total, B]
+    # outputs
+    codes_ref,           # [1, n_total, B]
+    logits_ref,          # [1, n_log, B, Q]
+    ring_ref,            # [sum_d, B, 128] — ANY memspace (HBM); lane dim
+                         #  explicitly padded to the 128-lane tile so HBM
+                         #  views and DMA shapes agree
+    # scratch
+    causal_buf_ref, rbuf_ref, wbuf_ref, zbuf_ref, rsem, wsem, zsem,
+    *,
+    config: WaveNetConfig, offsets: Tuple[int, ...], n_total: int,
+    n_forced: int, batch_size: int, inv_temperature: float,
+):
+    """Single-pass sampler with the ring buffer resident in HBM.
+
+    The VMEM kernel's batch ceiling comes from lane-padding the
+    [sum_d, B, R] state (R=32 pads to 128 lanes -> 4x bytes). Here the
+    state lives in HBM (no lane tiling) and the kernel streams one row
+    per layer per step:
+
+      * at step start ALL L row-reads are issued onto per-layer DMA
+        semaphores (positions are known from t), so by the time layer l
+        runs, ~l layers of matmuls have hidden its read latency;
+      * each layer waits its row, computes, snapshots its input into a
+        per-layer VMEM write-source slot, and issues the write-back;
+      * before re-issuing layer l's read on the next step, one wait on
+        its write semaphore balances the books — after t waits, all t
+        prior writes are complete, so a d=1 row re-read is safe;
+      * all writes are drained before the kernel exits.
+    """
+    c = config
+    L, R, D, S, Q = (c.num_layers, c.residual_channels, c.dilation_channels,
+                     c.skip_channels, c.quantization_channels)
+    B = batch_size
+    C_in = c.input_channels
+
+    pltpu.prng_seed(seed_ref[0])
+    causal_buf_ref[...] = jnp.zeros_like(causal_buf_ref)
+    wbuf_ref[...] = jnp.zeros_like(wbuf_ref)   # defined pad lanes
+
+    # Zero the HBM ring in chunks.
+    zbuf_ref[...] = jnp.zeros_like(zbuf_ref)
+    ZC = zbuf_ref.shape[0]
+    sum_d = sum(c.dilations)
+    n_full = sum_d // ZC
+    for ci in range(n_full):
+        cp = pltpu.make_async_copy(zbuf_ref, ring_ref.at[ci * ZC:(ci + 1) * ZC],
+                                   zsem)
+        cp.start()
+        cp.wait()
+    rem = sum_d - n_full * ZC
+    if rem:
+        cp = pltpu.make_async_copy(zbuf_ref.at[0:rem],
+                                   ring_ref.at[n_full * ZC:sum_d], zsem)
+        cp.start()
+        cp.wait()
+
+    def featurize(x_col):
+        if c.scalar_input:
+            return x_col
+        iota = lax.broadcasted_iota(jnp.int32, (B, C_in), 1)
+        return (iota.astype(jnp.float32) == x_col).astype(jnp.float32)
+
+    mu = float(Q - 1)
+
+    def decode_amp(code_f):
+        sgn = 2.0 * (code_f / mu) - 1.0
+        mag = (1.0 / mu) * (jnp.exp(jnp.abs(sgn) * float(np.log1p(mu)))
+                            - 1.0)
+        return jnp.sign(sgn) * mag
+
+    def mu_law_encode_f(amp):
+        safe = jnp.minimum(jnp.abs(amp), 1.0)
+        magnitude = jnp.log1p(mu * safe) * float(1.0 / np.log1p(mu))
+        signal = jnp.sign(amp) * magnitude
+        return ((signal + 1.0) / 2.0 * mu + 0.5).astype(jnp.int32)
+
+    def read_dma(l, pos):
+        return pltpu.make_async_copy(ring_ref.at[pos], rbuf_ref.at[l],
+                                     rsem.at[l])
+
+    def write_dma(l, pos):
+        return pltpu.make_async_copy(wbuf_ref.at[l], ring_ref.at[pos],
+                                     wsem.at[l])
+
+    def row_pos(l, t):
+        return offsets[l] + t % c.dilations[l]
+
+    def step(t, x_col):
+        x = featurize(x_col)
+        prev = causal_buf_ref[...]
+        window = jnp.concatenate([prev, x], axis=-1)
+        current = jnp.dot(window.astype(causal_w_ref.dtype),
+                          causal_w_ref[...],
+                          preferred_element_type=jnp.float32)
+        causal_buf_ref[...] = window[:, C_in:]
+
+        # Balance write semaphores, then prefetch ALL row reads.
+        for l in range(L):
+            @pl.when(t > 0)
+            def _(l=l):
+                write_dma(l, row_pos(l, t - 1)).wait()
+            read_dma(l, row_pos(l, t)).start()
+
+        skip_sum = jnp.zeros((B, S), jnp.float32)
+        for i in range(L):
+            read_dma(i, row_pos(i, t)).wait()
+            past = rbuf_ref[i, :, 0:R].astype(jnp.float32)
+            wbuf_ref[i, :, 0:R] = current
+            write_dma(i, row_pos(i, t)).start()
+            x_cat = jnp.concatenate([past, current], axis=-1)
+            fg = jnp.dot(x_cat.astype(layer_w_ref.dtype), layer_w_ref[i],
+                         preferred_element_type=jnp.float32)
+            fg = fg + layer_add_ref[0, i]
+            out = jnp.tanh(fg[:, :D]) * jax.nn.sigmoid(fg[:, D:])
+            ds = jnp.dot(out.astype(proj_w_ref.dtype), proj_w_ref[i],
+                         preferred_element_type=jnp.float32)
+            ds = ds + proj_add_ref[i]
+            current = current + ds[:, :R]
+            skip_sum = skip_sum + ds[:, R:]
+
+        h = jnp.maximum(skip_sum, 0.0)
+        h = jnp.dot(h.astype(post1_w_ref.dtype), post1_w_ref[...],
+                    preferred_element_type=jnp.float32) + post1_b_ref[...]
+        h = jnp.maximum(h, 0.0)
+        h = jnp.dot(h.astype(post2_w_ref.dtype), post2_w_ref[...],
+                    preferred_element_type=jnp.float32) + post2_b_ref[...]
+        return h
+
+    def sample_from(logits):
+        bits = pltpu.prng_random_bits((B, Q))
+        u = pltpu.bitcast(
+            (pltpu.bitcast(bits, jnp.uint32) >> 9) | 0x3F800000,
+            jnp.float32) - 1.0
+        u = jnp.maximum(u, 1e-20)
+        gumbel = -jnp.log(-jnp.log(u))
+        scores = logits * inv_temperature + gumbel
+        return jnp.argmax(scores, axis=-1, keepdims=True).astype(jnp.int32)
+
+    def body(t, x_col):
+        logits = step(t, x_col)
+        logits_ref[0, lax.rem(t, logits_ref.shape[1])] = logits
+        sampled = sample_from(logits)
+        nxt = jnp.minimum(t + 1, n_total - 1)
+        forced_next = jnp.transpose(forced_ref[0, pl.ds(nxt, 1), :])
+        take_forced = t + 1 < n_forced
+        emitted = jnp.where(
+            t < n_forced - 1,
+            (mu_law_encode_f(forced_next) if c.scalar_input
+             else forced_next.astype(jnp.int32)),
+            sampled)
+        codes_ref[0, pl.ds(t, 1), :] = jnp.transpose(emitted)
+        if c.scalar_input:
+            next_col = jnp.where(take_forced, forced_next,
+                                 decode_amp(sampled.astype(jnp.float32)))
+        else:
+            next_col = jnp.where(take_forced, forced_next,
+                                 sampled.astype(jnp.float32))
+        return next_col
+
+    first = jnp.transpose(forced_ref[0, pl.ds(0, 1), :]).astype(jnp.float32)
+    final = lax.fori_loop(0, n_total, body, first, unroll=False)
+
+    # Drain outstanding writes (one pending per layer from the last step).
+    for l in range(L):
+        write_dma(l, row_pos(l, n_total - 1)).wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "n_total", "n_forced", "batch_size",
+                     "temperature", "collect_logits"))
+def _run_sampler_kernel_hbm(packed: PackedSampler, forced: jnp.ndarray,
+                            seed: jnp.ndarray,
+                            config: WaveNetConfig, n_total: int,
+                            n_forced: int, batch_size: int,
+                            temperature: float, collect_logits: bool):
+    c = config
+    B, Q, R = batch_size, c.quantization_channels, c.residual_channels
+    L = c.num_layers
+    sum_d = sum(c.dilations)
+    kw_in = (c.initial_filter_width if c.scalar_input else c.filter_width)
+    kernel = functools.partial(
+        _sampler_kernel_hbm, config=c, offsets=ring_offsets(c),
+        n_total=n_total, n_forced=n_forced, batch_size=B,
+        inv_temperature=1.0 / temperature)
+    n_log = n_total if collect_logits else 1
+    zc = min(64, sum_d)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9
+                 + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # codes
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # logits
+            pl.BlockSpec(memory_space=pltpu.ANY),      # ring (HBM)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, (kw_in - 1) * c.input_channels), jnp.float32),
+            pltpu.VMEM((L, B, 128), jnp.float32),      # rbuf (lane-padded)
+            pltpu.VMEM((L, B, 128), jnp.float32),      # wbuf (lane-padded)
+            pltpu.VMEM((zc, B, 128), jnp.float32),     # zbuf
+            pltpu.SemaphoreType.DMA((L,)),
+            pltpu.SemaphoreType.DMA((L,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    codes, logits, _ring = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n_total, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_log, B, Q), jnp.float32),
+            jax.ShapeDtypeStruct((sum_d, B, 128), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(seed, packed.causal_w, packed.layer_w,
+      packed.layer_add[None],   # kernel uses the chunk-major [1,L,B,2D] view
+      packed.proj_w, packed.proj_add, packed.post1_w, packed.post1_b,
+      packed.post2_w, packed.post2_b, forced)
+    return jnp.transpose(codes[0]), logits[0]
