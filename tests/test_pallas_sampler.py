@@ -198,3 +198,32 @@ def test_hbm_ring_matches_forward(rng):
                                      batch_size=B, interpret=True,
                                      ring_in_hbm=True))
     assert out.shape == (B, 20)
+
+
+@pytest.mark.parametrize("variant", ["gc", "scalar"])
+def test_hbm_ring_variants(variant, rng):
+    if variant == "gc":
+        cfg = small_config(gc_channels=4, gc_cardinality=4)
+        gc_ids = jnp.asarray([1, 3])
+    else:
+        cfg = small_config(scalar_input=True, initial_filter_width=4)
+        gc_ids = None
+    params = init_params(jax.random.PRNGKey(5), cfg)
+    B, T = 2, cfg.receptive_field + 5
+    if variant == "scalar":
+        seed_codes = jnp.asarray(rng.uniform(-1, 1, (B, T)).astype(np.float32))
+        net_in = seed_codes[..., None]
+        gc_emb = None
+    else:
+        seed_codes = jnp.asarray(
+            rng.randint(0, cfg.quantization_channels, (B, T)))
+        net_in = one_hot(seed_codes, cfg.quantization_channels)
+        gc_emb = embed_gc(params, cfg, gc_ids)
+
+    _, logits = generate_pallas(params, cfg, n_samples=1, seed=0,
+                                batch_size=B, gc_ids=gc_ids,
+                                seed_codes=seed_codes, collect_logits=True,
+                                interpret=True, ring_in_hbm=True)
+    full = forward(params, cfg, net_in, gc_emb)
+    np.testing.assert_allclose(np.asarray(logits[:, :T, :]),
+                               np.asarray(full), rtol=1e-4, atol=1e-5)
