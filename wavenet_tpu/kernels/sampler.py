@@ -336,42 +336,52 @@ def _run_sampler_kernel(packed: PackedSampler, forced: jnp.ndarray,
     return jnp.transpose(codes_bt), logits_out
 
 
+def _lanes(n: int) -> int:
+    """Mosaic pads the last (lane) dim of VMEM buffers to 128."""
+    return -(-n // 128) * 128
+
+
 def sampler_vmem_bytes(config: WaveNetConfig, batch_size: int,
                        n_samples: int, collect_logits: bool = False,
                        state_bytes: int = 4) -> int:
-    """Rough VMEM footprint of the kernel (weights + state + outputs).
+    """VMEM footprint of the all-VMEM kernel, INCLUDING Mosaic's 128-lane
+    padding of every buffer's last dimension (measured: the ring state
+    really costs sum_d*B*128 lanes, 4x its logical bytes at R=32).
 
-    Used to decide pallas-vs-scan automatically: the whole working set must
-    fit the ~16 MB/core VMEM (large batches need the future HBM-resident
-    ring-buffer variant; they fall back to the lax.scan sampler today).
+    Used to decide the sampler path automatically; the working set must
+    fit the ~16 MB/core VMEM.
     """
     c = config
     L, R, D, S, Q = (c.num_layers, c.residual_channels, c.dilation_channels,
                      c.skip_channels, c.quantization_channels)
     B = batch_size
-    weights = (2 * c.input_channels * R + L * (2 * R * 2 * D + B * 2 * D
-               + D * (R + S) + (R + S)) + S * S + S + S * Q + Q)
-    state = sum(c.dilations) * B * R
-    outputs = n_samples * B + (n_samples if collect_logits else 1) * B * Q
-    return (4 * (weights + outputs + B * c.input_channels)
+    weights = (2 * c.input_channels * _lanes(R)
+               + L * (2 * R * _lanes(2 * D) + B * _lanes(2 * D)
+                      + D * _lanes(R + S) + _lanes(R + S))
+               + S * _lanes(S) + _lanes(S) + S * _lanes(Q) + _lanes(Q))
+    state = sum(c.dilations) * B * _lanes(R)
+    outputs = (n_samples * _lanes(B)
+               + (n_samples if collect_logits else 1) * B * _lanes(Q))
+    return (4 * (weights + outputs + B * _lanes(c.input_channels))
             + state_bytes * state)
 
 
 def hbm_sampler_vmem_bytes(config: WaveNetConfig, batch_size: int,
                            n_samples: int) -> int:
     """VMEM footprint of the HBM-ring path (ring itself lives in HBM):
-    dominated by the forced/codes blocks and the lane-padded row slots."""
+    dominated by the forced/codes stream blocks and the lane-padded
+    per-layer row slots (rbuf+wbuf = 2*L*B*128 floats)."""
     c = config
-    L, R, S, Q = (c.num_layers, c.residual_channels, c.skip_channels,
-                  c.quantization_channels)
+    L, R, D, S, Q = (c.num_layers, c.residual_channels, c.dilation_channels,
+                     c.skip_channels, c.quantization_channels)
     B = batch_size
-    weights = (2 * c.input_channels * R
-               + L * (2 * R * 2 * c.dilation_channels + B * 2 * c.dilation_channels
-                      + c.dilation_channels * (R + S) + (R + S))
-               + S * S + S + S * Q + Q)
-    streams = 2 * n_samples * B          # forced + codes int32
+    weights = (2 * c.input_channels * _lanes(R)
+               + L * (2 * R * _lanes(2 * D) + B * _lanes(2 * D)
+                      + D * _lanes(R + S) + _lanes(R + S))
+               + S * _lanes(S) + _lanes(S) + S * _lanes(Q) + _lanes(Q))
+    streams = 2 * n_samples * _lanes(B)  # forced + codes int32
     slots = 2 * L * B * 128 + 64 * B * 128
-    return 4 * (weights + streams + slots + B * Q)
+    return 4 * (weights + streams + slots + B * _lanes(Q))
 
 
 def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
