@@ -1,0 +1,173 @@
+"""Regression tests for the round-1 verdict/advice defects.
+
+Covers: --store_metadata bool parsing, the NaN-poisoned final checkpoint,
+the over-broad sampler-fallback except, tf.nn.l2_loss scaling, scalar-input
+seed handling, and the Pallas unseeded-start recipe.
+"""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wavenet_tpu.models.config import WaveNetConfig
+
+
+def small_cfg(**kw):
+    d = dict(dilations=(1, 2, 4), residual_channels=4, dilation_channels=4,
+             skip_channels=8, quantization_channels=32, sample_rate=2000)
+    d.update(kw)
+    return WaveNetConfig(**d)
+
+
+# -- --store_metadata parsing (reference bug: argparse type=bool) ----------
+
+def test_store_metadata_false_parses_false():
+    from wavenet_tpu.cli.train import get_arguments
+    assert get_arguments(["--store_metadata", "False"]).store_metadata is False
+    assert get_arguments(["--store_metadata", "True"]).store_metadata is True
+    assert get_arguments([]).store_metadata is False
+
+
+# -- tf.nn.l2_loss scale: sum(v**2)/2, biases excluded ----------------------
+
+def test_l2_loss_matches_tf_nn_l2_loss_scale(rng):
+    from wavenet_tpu.models.wavenet import init_params, loss_fn
+    cfg = small_cfg(use_biases=True)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    audio = jnp.asarray(rng.uniform(-1, 1, (1, cfg.receptive_field + 16))
+                        .astype(np.float32))
+    _, aux = loss_fn(params, cfg, audio, None, 0.01)
+    expected = sum(0.5 * float(np.sum(np.square(np.asarray(v))))
+                   for k, v in params.items() if not k.endswith("_bias"))
+    np.testing.assert_allclose(float(aux["l2_loss"]), expected, rtol=1e-6)
+
+
+# -- sampler fallback only swallows compiler/resource failures --------------
+
+def test_is_compile_failure_classification():
+    from wavenet_tpu.sampler_select import is_compile_failure
+    assert is_compile_failure(
+        jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: vmem"))
+    assert is_compile_failure(NotImplementedError("lowering rule"))
+    assert is_compile_failure(ValueError("Mosaic failed to compile"))
+    assert not is_compile_failure(ValueError("operands could not be broadcast"))
+    assert not is_compile_failure(TypeError("missing argument"))
+    assert not is_compile_failure(KeyError("filter"))
+
+
+def test_fallback_reraises_genuine_bugs(monkeypatch):
+    from wavenet_tpu import sampler_select
+    from wavenet_tpu.kernels import sampler as sampler_mod
+
+    cfg = small_cfg(filter_width=2)
+    from wavenet_tpu.models.wavenet import init_params
+    params = init_params(jax.random.PRNGKey(0), cfg)
+
+    # Force one Pallas attempt even on CPU, make it raise a genuine bug.
+    monkeypatch.setattr(sampler_select, "sampler_attempts",
+                        lambda *a, **k: [("Pallas (f32 state)", {})])
+
+    def boom(*a, **k):
+        raise ValueError("shape mismatch in packing")
+    monkeypatch.setattr(sampler_mod, "generate_pallas", boom)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        sampler_select.generate_with_fallback(params, cfg, 4, seed=0)
+
+    # A resource failure falls through to scan instead.
+    def oom(*a, **k):
+        raise jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: VMEM")
+    monkeypatch.setattr(sampler_mod, "generate_pallas", oom)
+    codes, name, kw = sampler_select.generate_with_fallback(
+        params, cfg, 4, seed=0, log=lambda *_: None)
+    assert name == "scan" and kw is None and codes.shape == (1, 4)
+
+
+# -- scalar-input seeds stay raw amplitudes ---------------------------------
+
+def test_create_seed_scalar_input_returns_floats(tmp_path):
+    from wavenet_tpu.audio import write_wav
+    from wavenet_tpu.cli.generate import create_seed
+
+    sr = 2000
+    t = np.arange(sr) / sr
+    wave = (0.5 * np.sin(2 * np.pi * 200 * t)).astype(np.float32)
+    path = str(tmp_path / "seed.wav")
+    write_wav(path, wave, sr)
+
+    scalar_seed = create_seed(path, sr, 32, 64, scalar_input=True)
+    assert scalar_seed.dtype == np.float32
+    assert np.abs(scalar_seed).max() <= 1.0
+
+    mu_seed = create_seed(path, sr, 32, 64, scalar_input=False)
+    assert np.issubdtype(mu_seed.dtype, np.integer)
+    assert mu_seed.min() >= 0 and mu_seed.max() < 32
+
+
+# -- Pallas unseeded recipe matches the scan sampler's ----------------------
+
+def test_pallas_unseeded_default_is_silence_plus_random_first():
+    from wavenet_tpu.kernels.sampler import generate_pallas
+    from wavenet_tpu.models.wavenet import init_params
+
+    cfg = small_cfg(filter_width=2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rf, Q = cfg.receptive_field, cfg.quantization_channels
+    silence = jnp.full((1, rf - 1), Q // 2, jnp.int32)
+    first = jax.random.randint(jax.random.PRNGKey(7), (1,), 0, Q)
+    explicit = jnp.concatenate([silence, first[:, None]], axis=1)
+
+    a = generate_pallas(params, cfg, 6, seed=7, interpret=True)
+    b = generate_pallas(params, cfg, 6, seed=7, seed_codes=explicit,
+                        interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# -- NaN stop must not save a poisoned checkpoint ----------------------------
+
+def test_nan_stop_skips_final_checkpoint(tmp_path, monkeypatch):
+    import wavenet_tpu.train_lib as tl
+    from wavenet_tpu.audio import write_wav
+    from wavenet_tpu.cli.train import main as train_main
+    from wavenet_tpu.train_lib import latest_checkpoint_step
+
+    cfg = small_cfg()
+    params_path = tmp_path / "params.json"
+    params_path.write_text(json.dumps(cfg.to_json_dict()))
+
+    data = tmp_path / "corpus"
+    data.mkdir()
+    sr = cfg.sample_rate
+    t = np.arange(2 * sr) / sr
+    write_wav(str(data / "a.wav"),
+              (0.5 * np.sin(2 * np.pi * 100 * t)).astype(np.float32), sr)
+
+    real = tl.make_train_step
+
+    def nan_at_step_2(config, optimizer, l2):
+        step_fn = real(config, optimizer, l2)
+
+        def wrapped(state, audio, gc_ids=None):
+            new_state, metrics = step_fn(state, audio, gc_ids)
+            if int(jax.device_get(new_state.step)) >= 2:
+                metrics = dict(metrics)
+                metrics["loss"] = jnp.float32(jnp.nan)
+            return new_state, metrics
+        return wrapped
+
+    monkeypatch.setattr(tl, "make_train_step", nan_at_step_2)
+
+    logdir = str(tmp_path / "logdir")
+    rc = train_main([
+        "--data_dir", str(data), "--logdir", logdir,
+        "--wavenet_params", str(params_path),
+        "--batch_size", "8",  # conftest forces an 8-device data mesh
+        "--num_steps", "10", "--checkpoint_every", "100",
+        "--sample_size", "256", "--silence_threshold", "0",
+        "--compilation_cache", ""])
+    assert rc == 0
+    # Stopped at the poisoned step 2 with NOTHING saved (the reference-era
+    # behavior checkpointed the post-NaN state in the finally block).
+    assert latest_checkpoint_step(logdir) is None

@@ -68,13 +68,20 @@ def get_arguments(argv=None):
 
 
 def create_seed(filename, sample_rate, quantization_channels, window_size,
-                silence_threshold=SILENCE_THRESHOLD):
-    """Load + trim a seed wav, return its mu-law codes (generate.py ≈:105)."""
+                silence_threshold=SILENCE_THRESHOLD, scalar_input=False):
+    """Load + trim a seed wav -> sampler seed (generate.py ≈:105).
+
+    Mu-law models are seeded with integer class codes; scalar-input
+    models consume raw amplitudes in [-1, 1], so the trimmed float
+    waveform is returned un-encoded (feeding class codes as amplitudes
+    would silently corrupt priming)."""
     from wavenet_tpu.audio import mu_law_encode_np, read_wav, trim_silence
 
     audio, _ = read_wav(filename, sample_rate)
     audio = trim_silence(audio, silence_threshold)
     cut = audio[:window_size] if window_size else audio
+    if scalar_input:
+        return cut.astype(np.float32)
     return mu_law_encode_np(cut, quantization_channels)
 
 
@@ -128,7 +135,8 @@ def main(argv=None):
     if args.wav_seed:
         codes = create_seed(args.wav_seed, wavenet_params["sample_rate"],
                             config.quantization_channels,
-                            config.receptive_field)
+                            config.receptive_field,
+                            scalar_input=config.scalar_input)
         seed_codes = jnp.tile(jnp.asarray(codes)[None, :],
                               (args.batch_size, 1))
 
@@ -164,62 +172,17 @@ def main(argv=None):
 
 
 def _generate_fast(params, config, args, key, gc_ids, seed_codes):
-    """Run the fastest sampler that actually compiles.
+    """Run the fastest sampler that actually compiles (ordered fallback,
+    shared with the server — wavenet_tpu/sampler_select.py)."""
+    from wavenet_tpu.sampler_select import generate_with_fallback
 
-    Preference order: all-VMEM Pallas (f32 state), VMEM bf16 state, HBM
-    ring, 16-stream chunks, lax.scan. VMEM-fit estimates guide the order,
-    but the ground truth is the Mosaic compiler — an attempt that fails
-    (VMEM OOM etc.) falls through to the next path. Failed compiles cost
-    seconds once; the persistent compilation cache makes retries free.
-    """
-    from wavenet_tpu.kernels.sampler import (
-        generate_pallas, hbm_sampler_vmem_bytes, sampler_vmem_bytes)
-    from wavenet_tpu.sample import generate
-
-    import jax.numpy as jnp_
-    eligible = (config.filter_width == 2
-                and jax.devices()[0].platform != "cpu")
-    seed = args.seed if args.seed is not None else 0
-
-    # The byte estimates deliberately over-count (they model worst-case
-    # lane padding); use them only to skip hopeless attempts, and let the
-    # compiler be the real judge for everything near the line.
-    GENEROUS = 40 * 1024 * 1024
-    attempts = []
-    if args.sampler in ("auto", "pallas") and eligible:
-        if sampler_vmem_bytes(config, args.batch_size,
-                              args.samples) < GENEROUS:
-            attempts.append(("Pallas (f32 state)", dict()))
-        if sampler_vmem_bytes(config, args.batch_size, args.samples,
-                              state_bytes=2) < GENEROUS:
-            attempts.append(("Pallas (bf16 ring state)",
-                             dict(state_dtype=jnp_.bfloat16)))
-        if hbm_sampler_vmem_bytes(config, args.batch_size,
-                                  args.samples) < GENEROUS:
-            attempts.append(("Pallas (HBM ring)", dict(ring_in_hbm=True)))
-        for bc in (16, 8, 4, 2, 1):
-            if args.batch_size % bc == 0 and bc < args.batch_size and                     sampler_vmem_bytes(config, bc, args.samples,
-                                       state_bytes=2) < GENEROUS:
-                attempts.append((f"Pallas (bf16 ring, chunks of {bc})",
-                                 dict(state_dtype=jnp_.bfloat16,
-                                      batch_chunk=bc)))
-
-    for name, kw in attempts:
-        try:
-            codes = generate_pallas(
-                params, config, args.samples, seed=seed,
-                batch_size=args.batch_size, gc_ids=gc_ids,
-                temperature=args.temperature, seed_codes=seed_codes, **kw)
-            print(f"Using fused {name} sampler.")
-            return codes
-        except Exception as e:  # VMEM OOM / Mosaic limits -> next path
-            print(f"{name} sampler unavailable "
-                  f"({str(e).splitlines()[0][:90]}); trying next.")
-
-    print("Using lax.scan sampler.")
-    return generate(params, config, args.samples, key,
-                    batch_size=args.batch_size, gc_ids=gc_ids,
-                    temperature=args.temperature, seed_codes=seed_codes)
+    codes, _, _ = generate_with_fallback(
+        params, config, args.samples,
+        seed=args.seed if args.seed is not None else 0,
+        batch_size=args.batch_size, gc_ids=gc_ids,
+        temperature=args.temperature, seed_codes=seed_codes,
+        sampler=args.sampler)
+    return codes
 
 
 def _generate_fast_chunked(params, config, args, key, gc_ids, seed_codes,
@@ -239,12 +202,20 @@ def _generate_fast_chunked(params, config, args, key, gc_ids, seed_codes,
     state = init_sampler_state(c, B)
     key_first, key = jax.random.split(key)
     if seed_codes is None:
-        silence = jnp.full((B, c.receptive_field - 1),
-                           c.quantization_channels // 2, jnp.int32)
+        if c.scalar_input:
+            # Scalar mode primes with raw silence amplitudes and starts
+            # from 0.0 (sample.generate's unseeded scalar recipe).
+            silence = jnp.zeros((B, c.receptive_field - 1), jnp.float32)
+            first = jnp.zeros((B,), jnp.float32)
+        else:
+            silence = jnp.full((B, c.receptive_field - 1),
+                               c.quantization_channels // 2, jnp.int32)
+            first = jax.random.randint(key_first, (B,), 0,
+                                       c.quantization_channels)
         state = prime_state(params, c, state, silence, gc_emb)
-        first = jax.random.randint(key_first, (B,), 0,
-                                   c.quantization_channels)
     else:
+        # seed_codes: int classes, or raw amplitudes in scalar mode
+        # (create_seed already branches) — prime_state handles both.
         state = prime_state(params, c, state, seed_codes[:, :-1], gc_emb)
         first = seed_codes[:, -1]
 
@@ -268,10 +239,18 @@ def _generate_fast_chunked(params, config, args, key, gc_ids, seed_codes,
 
 
 def _generate_slow(params, config, args, key, gc_ids, seed_codes):
-    """O(receptive_field) per sample — parity/debug path."""
+    """O(receptive_field) per sample — parity/debug path.
+
+    The rolling window holds the network's raw inputs: int mu-law classes,
+    or float amplitudes in scalar mode (sampled classes are decoded back
+    to amplitudes before re-entering the window)."""
+    from wavenet_tpu.audio import mu_law_decode_np
     from wavenet_tpu.models.wavenet import predict_proba
 
     rf = config.receptive_field
+    scalar = config.scalar_input
+    win_dtype = np.float32 if scalar else np.int32
+    silence = 0.0 if scalar else config.quantization_channels // 2
 
     @jax.jit
     def one_step(window, sub):
@@ -281,10 +260,9 @@ def _generate_slow(params, config, args, key, gc_ids, seed_codes):
                                       axis=-1)
 
     if seed_codes is not None:
-        window = np.asarray(seed_codes)
+        window = np.asarray(seed_codes).astype(win_dtype)
     else:
-        window = np.full((args.batch_size, 1),
-                         config.quantization_channels // 2, np.int32)
+        window = np.full((args.batch_size, 1), silence, win_dtype)
     out = []
     for i in range(args.samples):
         key, sub = jax.random.split(key)
@@ -292,9 +270,11 @@ def _generate_slow(params, config, args, key, gc_ids, seed_codes):
         win = window[:, -rf:]
         if win.shape[1] < rf:
             win = np.pad(win, ((0, 0), (rf - win.shape[1], 0)),
-                         constant_values=config.quantization_channels // 2)
+                         constant_values=silence)
         code = np.asarray(one_step(jnp.asarray(win), sub))
-        window = np.concatenate([window, code[:, None]], axis=1)
+        nxt = (mu_law_decode_np(code, config.quantization_channels)
+               .astype(np.float32) if scalar else code)
+        window = np.concatenate([window, nxt[:, None]], axis=1)
         out.append(code)
         if i % 100 == 0:
             print(f"Sample {i}/{args.samples}")

@@ -44,8 +44,10 @@ def get_arguments(argv=None):
     parser = argparse.ArgumentParser(description="WaveNet training (TPU-native)")
     parser.add_argument("--batch_size", type=int, default=BATCH_SIZE)
     parser.add_argument("--data_dir", type=str, default=DATA_DIRECTORY)
-    parser.add_argument("--store_metadata", type=bool, default=False,
-                        help="Record profiler traces every 50 steps.")
+    parser.add_argument("--store_metadata", type=_str_to_bool, default=False,
+                        help="Record profiler traces every 50 steps. "
+                             "(The reference's argparse type=bool makes "
+                             "'--store_metadata False' truthy; fixed here.)")
     parser.add_argument("--logdir", type=str, default=None)
     parser.add_argument("--logdir_root", type=str, default=None)
     parser.add_argument("--restore_from", type=str, default=None)
@@ -234,6 +236,7 @@ def main(argv=None):
     last_saved_step = saved_global_step
     timer = StepTimer()
     step = saved_global_step
+    poisoned = False
     try:
         for step in range(saved_global_step + 1, args.num_steps + 1):
             # batch_size is per host (reference semantics on one host);
@@ -254,10 +257,13 @@ def main(argv=None):
 
             loss_value = float(jax.device_get(metrics["loss"]))
             if not np.isfinite(loss_value):
-                # Save what we have and stop rather than training on NaNs
-                # (the reference would silently continue).
+                # The update for this step has already been applied, so the
+                # in-memory state is poisoned — stop WITHOUT saving it (the
+                # newest on-disk checkpoint stays the last finite one; the
+                # reference would silently continue training on NaNs).
                 print(f"step {step} - NON-FINITE loss ({loss_value}); "
-                      "saving last state and stopping.")
+                      "stopping without saving the poisoned state.")
+                poisoned = True
                 break
             duration = timer.lap()
             aps = audio_seconds_per_second(
@@ -281,7 +287,7 @@ def main(argv=None):
     except KeyboardInterrupt:
         print()
     finally:
-        if step > last_saved_step:
+        if step > last_saved_step and not poisoned:
             save_checkpoint(logdir, state)
         reader.stop_threads()
         writer.close()

@@ -412,12 +412,21 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
 
     # In scalar-input mode seed_codes are raw AMPLITUDES [B, T] f32 and
     # the unseeded start is silence (0.0); in mu-law mode they are int
-    # classes and silence is Q//2.
+    # classes and silence is Q//2. The unseeded recipe matches
+    # sample.generate (and the reference, generate.py ≈:170): prime
+    # receptive_field-1 silence steps, then one uniform-random first code
+    # — so --sampler auto does not change the initial transient depending
+    # on which path compiles (only the PRNG stream differs, as documented).
     fdtype = jnp.float32 if c.scalar_input else jnp.int32
     if seed_codes is None:
-        seed_codes = (jnp.zeros((B, 1), jnp.float32) if c.scalar_input
-                      else jnp.full((B, 1), c.quantization_channels // 2,
-                                    jnp.int32))
+        if c.scalar_input:
+            seed_codes = jnp.zeros((B, c.receptive_field), jnp.float32)
+        else:
+            silence = jnp.full((B, c.receptive_field - 1),
+                               c.quantization_channels // 2, jnp.int32)
+            first = jax.random.randint(
+                jax.random.PRNGKey(seed), (B,), 0, c.quantization_channels)
+            seed_codes = jnp.concatenate([silence, first[:, None]], axis=1)
     n_forced = int(seed_codes.shape[1])
     n_total = n_forced - 1 + n_samples
 

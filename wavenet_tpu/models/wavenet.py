@@ -425,7 +425,9 @@ def loss_fn(params: Params, config: WaveNetConfig,
     aux = {"ce_loss": ce}
     total = ce
     if l2_regularization_strength:
-        l2 = sum(jnp.sum(jnp.square(v)) for k, v in params.items()
+        # tf.nn.l2_loss(v) = sum(v**2) / 2 — keep the same scale so a given
+        # --l2_regularization_strength matches the reference's penalty.
+        l2 = sum(0.5 * jnp.sum(jnp.square(v)) for k, v in params.items()
                  if not k.endswith("_bias"))
         aux["l2_loss"] = l2
         total = ce + l2_regularization_strength * l2

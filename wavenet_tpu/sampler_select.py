@@ -1,0 +1,118 @@
+"""Compiler-verified sampler selection, shared by the CLI and the server.
+
+Preference order: all-VMEM Pallas (f32 state), VMEM bf16 ring state, HBM
+ring, batch-chunked bf16, lax.scan. The VMEM byte estimates deliberately
+over-count (worst-case Mosaic lane padding) and only prune hopeless
+attempts; the ground truth is the Mosaic compiler — an attempt whose
+compile fails on resources falls through to the next path. Failed
+compiles cost seconds once; the persistent compilation cache makes
+retries free.
+
+Only *resource/compiler* failures fall through. Anything else (a shape
+bug, bad packing, a TypeError in tracing) re-raises so regressions in
+the Pallas path can't hide behind the scan fallback.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# Attempts whose estimated VMEM exceeds this are skipped without trying
+# the compiler (v5e has ~64 MB VMEM/core but scoped allocs cap lower;
+# estimates over-count, so the bar is generous).
+GENEROUS_VMEM = 40 * 1024 * 1024
+
+_COMPILE_FAILURE_MARKERS = (
+    "RESOURCE_EXHAUSTED", "Mosaic", "mosaic", "VMEM", "vmem",
+    "scoped memory", "scratch", "exceeds", "XLA", "UNIMPLEMENTED",
+    "INTERNAL", "not implemented",
+)
+
+
+def is_compile_failure(e: BaseException) -> bool:
+    """True for compiler/resource failures that justify falling back.
+
+    Mosaic VMEM OOMs and lowering limits surface as JaxRuntimeError (the
+    XlaRuntimeError alias) or as NotImplementedError from the Pallas
+    lowering; Python-side tracing bugs (ValueError/TypeError from bad
+    shapes or packing) are genuine defects and must propagate.
+    """
+    if isinstance(e, (jax.errors.JaxRuntimeError, NotImplementedError)):
+        return True
+    msg = str(e)
+    return any(m in msg for m in _COMPILE_FAILURE_MARKERS)
+
+
+def sampler_attempts(config, batch_size: int, n_total: int,
+                     sampler: str = "auto"):
+    """Ordered (name, generate_pallas kwargs) candidates; scan is the
+    implicit final fallback. ``n_total`` = forced prefix + samples (the
+    unseeded recipe primes receptive_field codes)."""
+    from wavenet_tpu.kernels.sampler import (
+        hbm_sampler_vmem_bytes, sampler_vmem_bytes)
+
+    eligible = (sampler in ("auto", "pallas")
+                and config.filter_width == 2
+                and jax.devices()[0].platform != "cpu")
+    if not eligible:
+        return []
+    attempts = []
+    if sampler_vmem_bytes(config, batch_size, n_total) < GENEROUS_VMEM:
+        attempts.append(("Pallas (f32 state)", dict()))
+    if sampler_vmem_bytes(config, batch_size, n_total,
+                          state_bytes=2) < GENEROUS_VMEM:
+        attempts.append(("Pallas (bf16 ring state)",
+                         dict(state_dtype=jnp.bfloat16)))
+    if hbm_sampler_vmem_bytes(config, batch_size, n_total) < GENEROUS_VMEM:
+        attempts.append(("Pallas (HBM ring)", dict(ring_in_hbm=True)))
+    for bc in (16, 8, 4, 2, 1):
+        if (batch_size % bc == 0 and bc < batch_size
+                and sampler_vmem_bytes(config, bc, n_total,
+                                       state_bytes=2) < GENEROUS_VMEM):
+            attempts.append((f"Pallas (bf16 ring, chunks of {bc})",
+                             dict(state_dtype=jnp.bfloat16, batch_chunk=bc)))
+    return attempts
+
+
+def generate_with_fallback(params, config, n_samples: int, *,
+                           seed: int = 0,
+                           batch_size: int = 1,
+                           gc_ids=None,
+                           temperature: float = 1.0,
+                           seed_codes=None,
+                           sampler: str = "auto",
+                           log=print):
+    """Generate with the fastest sampler that actually compiles.
+
+    Returns (codes [B, n_samples], chosen_name, chosen_kwargs) where
+    chosen_kwargs is None when the scan sampler ran — callers (the
+    server) can cache the winning variant and skip the probe next time.
+    """
+    from wavenet_tpu.kernels.sampler import generate_pallas
+    from wavenet_tpu.sample import generate
+
+    n_forced = (int(seed_codes.shape[1]) if seed_codes is not None
+                else config.receptive_field)
+    for name, kw in sampler_attempts(config, batch_size,
+                                     n_samples + n_forced, sampler):
+        try:
+            codes = generate_pallas(
+                params, config, n_samples, seed=seed,
+                batch_size=batch_size, gc_ids=gc_ids,
+                temperature=temperature, seed_codes=seed_codes, **kw)
+            log(f"Using fused {name} sampler.")
+            return codes, name, kw
+        except Exception as e:
+            if not is_compile_failure(e):
+                raise
+            log(f"{name} sampler unavailable "
+                f"({str(e).splitlines()[0][:90]}); trying next.")
+
+    log("Using lax.scan sampler.")
+    codes = generate(params, config, n_samples, jax.random.PRNGKey(seed),
+                     batch_size=batch_size, gc_ids=gc_ids,
+                     temperature=temperature, seed_codes=seed_codes)
+    return codes, "scan", None

@@ -56,35 +56,61 @@ class GenerationService:
         self.params = params
         self._lock = threading.Lock()
 
-        use_pallas = sampler == "pallas"
-        if sampler == "auto":
-            use_pallas = (self.config.filter_width == 2
-                          and not self.config.scalar_input
-                          and jax.devices()[0].platform not in ("cpu",))
-        self.use_pallas = use_pallas
+        # Warmup picks the fastest variant that actually compiles (the
+        # CLI's ordered fallback, wavenet_tpu/sampler_select.py) and
+        # caches it — a config whose Mosaic compile fails degrades to
+        # scan ONCE here instead of erroring on every /generate.
+        self._sampler_arg = sampler
+        self._variant_kwargs = None  # None -> scan
+        self.sampler_name = "lax.scan"
         if warm_samples:
-            self.generate(warm_samples, gc_id=0 if gc_channels else None)
+            self.generate(warm_samples, gc_id=0 if gc_channels else None,
+                          _select=True)
+
+    @property
+    def use_pallas(self) -> bool:
+        return self._variant_kwargs is not None
+
+    @staticmethod
+    def bucket_samples(n: int) -> int:
+        """Round the request up to the next power-of-two bucket (min 1024)
+        so each distinct length doesn't recompile the sampler under the
+        service lock; the surplus is trimmed after generation."""
+        b = 1024
+        while b < n:
+            b *= 2
+        return b
 
     def generate(self, n_samples: int, gc_id: Optional[int] = None,
-                 temperature: float = 1.0, seed: int = 0) -> np.ndarray:
+                 temperature: float = 1.0, seed: int = 0,
+                 _select: bool = False) -> np.ndarray:
         """-> float waveform [n_samples] in [-1, 1]."""
         from wavenet_tpu.audio import mu_law_decode_np
         from wavenet_tpu.kernels.sampler import generate_pallas
         from wavenet_tpu.sample import generate
+        from wavenet_tpu.sampler_select import generate_with_fallback
 
         gc_ids = (jnp.asarray([gc_id], jnp.int32)
                   if gc_id is not None and self.config.gc_enabled else None)
+        n_bucket = self.bucket_samples(n_samples)
         with self._lock:
-            if self.use_pallas:
+            if _select:
+                codes, name, kw = generate_with_fallback(
+                    self.params, self.config, n_bucket, seed=seed,
+                    batch_size=1, gc_ids=gc_ids, temperature=temperature,
+                    sampler=self._sampler_arg)
+                self._variant_kwargs, self.sampler_name = kw, name
+            elif self._variant_kwargs is not None:
                 codes = generate_pallas(
-                    self.params, self.config, n_samples, seed=seed,
-                    batch_size=1, gc_ids=gc_ids, temperature=temperature)
+                    self.params, self.config, n_bucket, seed=seed,
+                    batch_size=1, gc_ids=gc_ids, temperature=temperature,
+                    **self._variant_kwargs)
             else:
                 codes = generate(
-                    self.params, self.config, n_samples,
+                    self.params, self.config, n_bucket,
                     jax.random.PRNGKey(seed), batch_size=1, gc_ids=gc_ids,
                     temperature=temperature)
-            codes = np.asarray(jax.device_get(codes))[0]
+            codes = np.asarray(jax.device_get(codes))[0][:n_samples]
         return mu_law_decode_np(codes, self.config.quantization_channels)
 
 
@@ -114,7 +140,7 @@ def make_handler(service: GenerationService):
             if self.path == "/healthz":
                 self._json(200, {
                     "status": "ok",
-                    "sampler": "pallas" if service.use_pallas else "scan",
+                    "sampler": service.sampler_name,
                     "sample_rate": service.sample_rate,
                     "config": service.config.to_json_dict(),
                 })
@@ -172,7 +198,7 @@ def main(argv=None):
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(service))
     print(f"Serving on http://{args.host}:{args.port} "
-          f"({'pallas' if service.use_pallas else 'scan'} sampler)")
+          f"({service.sampler_name} sampler)")
     server.serve_forever()
 
 
