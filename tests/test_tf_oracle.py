@@ -202,6 +202,47 @@ def test_incremental_logits_match_tf_oracle():
         np.testing.assert_allclose(probs_inc, probs_tf, atol=1e-5)
 
 
+def test_incremental_logits_match_tf1_queue_graph():
+    """Scan-sampler steps == the reference's FIFOQueue fast-gen graph.
+
+    tf1_baseline rebuilds the reference's ``_create_generator`` machinery
+    (per-layer tf.queue.FIFOQueue state, matmul convs, one session.run
+    per sample) — a second independent oracle, this time for the queue
+    protocol itself rather than the conv formulas.
+    """
+    from wavenet_tpu import sample
+    from wavenet_tpu.compat.tf1_baseline import TF1FastGenerator
+    cfg = make_cfg(use_biases=True, dilations=(1, 2, 4, 1, 2),
+                   gc_channels=4, gc_cardinality=7)
+    params = make_params(cfg, 9)
+    rng = np.random.RandomState(9)
+    codes = rng.randint(0, cfg.quantization_channels, 3 * cfg.receptive_field)
+
+    gen = TF1FastGenerator(params, cfg, batch_size=1, gc_id=2)
+    gc_emb = wavenet.embed_gc(params, cfg, jnp.asarray([2]))
+    state = sample.init_sampler_state(cfg, 1)
+    try:
+        for t in range(len(codes)):
+            probs_tf = gen.step(np.array([codes[t]], np.int32))
+            x = jax.nn.one_hot(jnp.asarray([codes[t]]),
+                               cfg.quantization_channels, dtype=jnp.float32)
+            state, logits = sample.sampler_step(params, cfg, state, x, gc_emb)
+            probs_j = np.asarray(jax.nn.softmax(logits))
+            np.testing.assert_allclose(probs_j, probs_tf, atol=1e-6)
+    finally:
+        gen.close()
+
+
+def test_tf1_measurement_smoke():
+    """measure_fast_generation runs the real loop and reports a rate."""
+    from wavenet_tpu.compat.tf1_baseline import measure_fast_generation
+    cfg = make_cfg(dilations=(1, 2, 4), use_biases=True)
+    params = make_params(cfg, 11)
+    res = measure_fast_generation(cfg, params, n_samples=64, warmup=8)
+    assert res["samples_per_s"] > 0
+    assert "one run per sample" in res["execution_model"]
+
+
 def test_predict_proba_matches_tf_oracle():
     cfg = make_cfg(use_biases=True)
     params = make_params(cfg, 7)
