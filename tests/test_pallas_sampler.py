@@ -227,3 +227,156 @@ def test_hbm_ring_variants(variant, rng):
     full = forward(params, cfg, net_in, gc_emb)
     np.testing.assert_allclose(np.asarray(logits[:, :T, :]),
                                np.asarray(full), rtol=1e-4, atol=1e-5)
+
+
+def test_windowed_logits_match_full_collection(rng):
+    """collect_logits=W (int) returns the LAST W steps' logits in order.
+
+    Bounded-VMEM window collection is what the >=100k-sample hardware
+    stress test uses — the ring unscramble must reproduce the tail of
+    the full collection exactly.
+    """
+    cfg = small_config()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    B, T = 2, cfg.receptive_field + 11
+    codes = jnp.asarray(rng.randint(0, cfg.quantization_channels, (B, T)))
+
+    _, full = generate_pallas(
+        params, cfg, n_samples=4, seed=0, batch_size=B,
+        seed_codes=codes, collect_logits=True, interpret=True)
+    W = 7
+    _, win = generate_pallas(
+        params, cfg, n_samples=4, seed=0, batch_size=B,
+        seed_codes=codes, collect_logits=W, interpret=True)
+    assert win.shape == (B, W, full.shape[2])
+    np.testing.assert_array_equal(np.asarray(win),
+                                  np.asarray(full[:, -W:, :]))
+
+
+def test_windowed_logits_hbm_ring(rng):
+    cfg = small_config()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    B, T = 2, cfg.receptive_field + 11
+    codes = jnp.asarray(rng.randint(0, cfg.quantization_channels, (B, T)))
+
+    _, full = generate_pallas(
+        params, cfg, n_samples=4, seed=0, batch_size=B,
+        seed_codes=codes, collect_logits=True, ring_in_hbm=True,
+        interpret=True)
+    W = 5
+    _, win = generate_pallas(
+        params, cfg, n_samples=4, seed=0, batch_size=B,
+        seed_codes=codes, collect_logits=W, ring_in_hbm=True,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(win),
+                                  np.asarray(full[:, -W:, :]))
+
+
+def test_stream_io_matches_vmem_path(rng, monkeypatch):
+    """HBM-streamed forced/codes IO reproduces the in-VMEM kernel.
+
+    Shrink the IO chunk so a short interpret run crosses several chunk
+    boundaries in both the forced-prefetch and codes-flush pipelines.
+    """
+    import wavenet_tpu.kernels.sampler as sampler_mod
+    monkeypatch.setattr(sampler_mod, "_IO_CHUNK", 8)
+
+    cfg = small_config()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    B, T = 2, cfg.receptive_field + 21   # ~4.5 chunks of 8
+    codes = jnp.asarray(rng.randint(0, cfg.quantization_channels, (B, T)))
+
+    _, ref_logits = generate_pallas(
+        params, cfg, n_samples=1, seed=0, batch_size=B,
+        seed_codes=codes, collect_logits=True, interpret=True)
+    out_s, logits_s = generate_pallas(
+        params, cfg, n_samples=1, seed=0, batch_size=B,
+        seed_codes=codes, collect_logits=True, ring_in_hbm=True,
+        stream_io=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(logits_s), np.asarray(ref_logits),
+                               rtol=1e-4, atol=1e-5)
+
+    # Teacher-forced codes come back through the HBM stream unchanged.
+    ref_out = generate_pallas(
+        params, cfg, n_samples=1, seed=0, batch_size=B, seed_codes=codes,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(out_s)[:, :-1],
+                                  np.asarray(ref_out)[:, :-1])
+
+
+def test_stream_io_windowed_logits(rng, monkeypatch):
+    import wavenet_tpu.kernels.sampler as sampler_mod
+    monkeypatch.setattr(sampler_mod, "_IO_CHUNK", 8)
+
+    cfg = small_config()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    B, T = 2, cfg.receptive_field + 13
+    codes = jnp.asarray(rng.randint(0, cfg.quantization_channels, (B, T)))
+
+    _, full = generate_pallas(
+        params, cfg, n_samples=1, seed=0, batch_size=B, seed_codes=codes,
+        collect_logits=True, ring_in_hbm=True, stream_io=True,
+        interpret=True)
+    _, win = generate_pallas(
+        params, cfg, n_samples=1, seed=0, batch_size=B, seed_codes=codes,
+        collect_logits=5, ring_in_hbm=True, stream_io=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(win),
+                                  np.asarray(full[:, -5:, :]))
+
+
+def test_resumable_stream_segments_equal_one_run(rng, monkeypatch):
+    """Two resumed segments == one long run, sample for sample.
+
+    Teacher-forced determinism: force the whole stream so the PRNG never
+    matters, and check the kernel's exported state (HBM ring + causal
+    register + absolute phase) reproduces the single-run codes exactly.
+    """
+    import wavenet_tpu.kernels.sampler as sampler_mod
+    monkeypatch.setattr(sampler_mod, "_IO_CHUNK", 8)
+    from wavenet_tpu.kernels.sampler import generate_pallas_resumable
+
+    cfg = small_config()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    B = 2
+    rf = cfg.receptive_field
+    seed_codes = jnp.asarray(
+        rng.randint(0, cfg.quantization_channels, (B, rf)))
+
+    # Single run: logits argmax made deterministic via temperature ~ 0.
+    one, _ = None, None
+    full = generate_pallas(params, cfg, n_samples=20, seed=0, batch_size=B,
+                           seed_codes=seed_codes, temperature=1e-6,
+                           ring_in_hbm=True, stream_io=True, interpret=True)
+
+    seg1, carry = generate_pallas_resumable(
+        params, cfg, n_samples=9, seed=0, batch_size=B,
+        seed_codes=seed_codes, temperature=1e-6, interpret=True)
+    seg2, carry = generate_pallas_resumable(
+        params, cfg, n_samples=11, seed=0, batch_size=B,
+        temperature=1e-6, carry=carry, interpret=True)
+    joined = np.concatenate([np.asarray(seg1), np.asarray(seg2)], axis=1)
+    np.testing.assert_array_equal(joined, np.asarray(full))
+
+
+def test_resumable_stream_three_segments(rng, monkeypatch):
+    import wavenet_tpu.kernels.sampler as sampler_mod
+    monkeypatch.setattr(sampler_mod, "_IO_CHUNK", 8)
+    from wavenet_tpu.kernels.sampler import generate_pallas_resumable
+
+    cfg = small_config()
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    B = 1
+    seed_codes = jnp.asarray(
+        rng.randint(0, cfg.quantization_channels, (B, cfg.receptive_field)))
+    full = generate_pallas(params, cfg, n_samples=18, seed=0, batch_size=B,
+                           seed_codes=seed_codes, temperature=1e-6,
+                           ring_in_hbm=True, stream_io=True, interpret=True)
+    outs, carry = [], None
+    for n in (5, 6, 7):
+        seg, carry = generate_pallas_resumable(
+            params, cfg, n_samples=n, seed=0, batch_size=B,
+            seed_codes=seed_codes if carry is None else None,
+            temperature=1e-6, carry=carry, interpret=True)
+        outs.append(np.asarray(seg))
+    np.testing.assert_array_equal(np.concatenate(outs, axis=1),
+                                  np.asarray(full))

@@ -1,0 +1,180 @@
+"""Hardware stress test of the Pallas samplers' DMA/ring protocols.
+
+Round 1 verified the HBM-ring sampler only in interpret mode on tiny
+shapes; interpret mode does not model DMA timing, so a latent race in
+the write-wait-then-reread protocol (kernels/sampler.py, d=1 rows are
+rewritten every step) would corrupt audio silently. This runs ON THE TPU:
+
+1. cross-implementation logits: teacher-forced windowed logits of the
+   VMEM and HBM-ring kernels vs the lax.scan sampler, paper config AND a
+   d=1-heavy config (every-step row reuse maximizes read/write overlap);
+2. long-run check: >=100k forced steps at b64 through the HBM-ring
+   kernel, comparing the final 256 steps' logits against the scan
+   sampler — any DMA race upstream corrupts the ring state and shows up
+   in the tail logits;
+3. determinism: two identical sampled runs (same seed) must emit
+   bitwise-identical codes — nondeterminism is the signature of a race.
+
+Prints one PASS/FAIL line per check; exits nonzero on failure.
+Run with no other TPU process alive.
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from wavenet_tpu.models.config import WaveNetConfig, paper_config
+from wavenet_tpu.models.wavenet import init_params
+from wavenet_tpu.kernels.sampler import generate_pallas
+from wavenet_tpu import sample as scan_sample
+
+FAILURES = []
+
+
+def check(name, ok, detail=""):
+    print(f"[{'PASS' if ok else 'FAIL'}] {name} {detail}", flush=True)
+    if not ok:
+        FAILURES.append(name)
+
+
+def scan_forced_logits_window(params, cfg, codes, W):
+    """Teacher-forced scan-sampler logits for the LAST W steps [B, W, Q]."""
+    B, T = codes.shape
+    Q = cfg.quantization_channels
+
+    @jax.jit
+    def run(codes):
+        state = scan_sample.init_sampler_state(cfg, B)
+        ring = jnp.zeros((W, B, Q), jnp.float32)
+
+        def body(carry, xt):
+            st, ring, t = carry
+            x = jax.nn.one_hot(xt, Q, dtype=jnp.float32)
+            st, logits = scan_sample.sampler_step(params, cfg, st, x)
+            ring = lax.dynamic_update_slice(
+                ring, logits[None], (lax.rem(t, W), 0, 0))
+            return (st, ring, t + 1), None
+
+        (_, ring, _), _ = lax.scan(body, (state, ring, jnp.int32(0)),
+                                   jnp.moveaxis(codes, 1, 0))
+        idx = (T - W + jnp.arange(W)) % W
+        return jnp.moveaxis(ring[idx], 0, 1)   # [B, W, Q]
+
+    return run(codes)
+
+
+def d1_heavy_config(**kw):
+    d = dict(dilations=(1, 1, 2, 1, 1, 4, 1, 1, 8, 1, 1, 16,
+                        1, 1, 64, 1, 1, 256),
+             residual_channels=32, dilation_channels=32, skip_channels=512)
+    d.update(kw)
+    return WaveNetConfig(**d)
+
+
+def cross_impl_check(tag, cfg, B, T, W, rng, **pallas_kw):
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    codes = jnp.asarray(rng.randint(0, cfg.quantization_channels, (B, T)))
+    t0 = time.perf_counter()
+    _, logits_p = generate_pallas(params, cfg, n_samples=1, seed=0,
+                                  batch_size=B, seed_codes=codes,
+                                  collect_logits=W, **pallas_kw)
+    logits_p = np.asarray(logits_p)[:, -W:, :]
+    dt_p = time.perf_counter() - t0
+    logits_s = np.asarray(scan_forced_logits_window(params, cfg, codes, W))
+    err = float(np.max(np.abs(logits_p - logits_s)))
+    scale = float(np.max(np.abs(logits_s)))
+    check(tag, err <= 2e-4 * max(scale, 1.0),
+          f"max|d|={err:.2e} scale={scale:.1f} T={T} B={B} "
+          f"pallas={dt_p:.1f}s")
+
+
+def main():
+    # NOTE: persistent compilation cache deliberately NOT enabled —
+    # on this tunnel the serialize/deserialize path produces executables
+    # that fail with INVALID_ARGUMENT for large programs (the same
+    # train step compiled without the cache runs fine; verified).
+    print("device:", jax.devices()[0], flush=True)
+    rng = np.random.RandomState(7)
+
+    paper = paper_config()
+    d1 = d1_heavy_config()
+
+    # 1) moderate-length cross-impl, VMEM kernel
+    cross_impl_check("vmem paper b8 T2048", paper, 8, 2048, 256, rng)
+    cross_impl_check("vmem d1-heavy b8 T2048", d1, 8, 2048, 256, rng)
+
+    # HBM-ring kernel, same checks
+    cross_impl_check("hbm-ring paper b8 T2048", paper, 8, 2048, 256, rng,
+                     ring_in_hbm=True)
+    cross_impl_check("hbm-ring d1-heavy b8 T2048", d1, 8, 2048, 256, rng,
+                     ring_in_hbm=True)
+
+    # 2) long-run b64 through the HBM ring: >=100k forced steps.
+    # stream_io puts forced/codes in HBM (the in-VMEM streams cannot hold
+    # 100k x 64); W=64 keeps the VMEM logits window ~4 MB at b64.
+    T_long, W = 100_000, 64
+    params = init_params(jax.random.PRNGKey(0), paper)
+    codes = jnp.asarray(rng.randint(0, 256, (64, T_long)))
+    t0 = time.perf_counter()
+    _, logits_p = generate_pallas(params, paper, n_samples=1, seed=0,
+                                  batch_size=64, seed_codes=codes,
+                                  collect_logits=W, ring_in_hbm=True,
+                                  stream_io=True)
+    logits_p = np.asarray(logits_p)[:, -W:, :]
+    dt = time.perf_counter() - t0
+    print(f"    hbm-ring b64 100k forced steps: {dt:.1f}s "
+          f"({64 * T_long / dt / 1e6:.2f}M samples/s)", flush=True)
+    logits_s = np.asarray(scan_forced_logits_window(params, paper, codes, W))
+    err = float(np.max(np.abs(logits_p - logits_s)))
+    scale = float(np.max(np.abs(logits_s)))
+    check("hbm-ring paper b64 100k-step tail", err <= 2e-4 * max(scale, 1.0),
+          f"max|d|={err:.2e} scale={scale:.1f}")
+
+    # also the d1-heavy config long run (most ring-row reuse per step)
+    params_d1 = init_params(jax.random.PRNGKey(1), d1)
+    codes_d1 = jnp.asarray(rng.randint(0, 256, (64, T_long)))
+    _, logits_pd = generate_pallas(params_d1, d1, n_samples=1, seed=0,
+                                   batch_size=64, seed_codes=codes_d1,
+                                   collect_logits=W, ring_in_hbm=True,
+                                   stream_io=True)
+    logits_pd = np.asarray(logits_pd)[:, -W:, :]
+    logits_sd = np.asarray(
+        scan_forced_logits_window(params_d1, d1, codes_d1, W))
+    err = float(np.max(np.abs(logits_pd - logits_sd)))
+    scale = float(np.max(np.abs(logits_sd)))
+    check("hbm-ring d1-heavy b64 100k-step tail",
+          err <= 2e-4 * max(scale, 1.0), f"max|d|={err:.2e}")
+
+    # 3) determinism: same-seed sampled runs must match bitwise
+    out1 = np.asarray(generate_pallas(params, paper, n_samples=100_000,
+                                      seed=3, batch_size=64,
+                                      ring_in_hbm=True, stream_io=True))
+    out2 = np.asarray(generate_pallas(params, paper, n_samples=100_000,
+                                      seed=3, batch_size=64,
+                                      ring_in_hbm=True, stream_io=True))
+
+    # 4) big-batch single pass (the stream_io capability target): b=128
+    t0 = time.perf_counter()
+    out128 = np.asarray(generate_pallas(params, paper, n_samples=16000,
+                                        seed=5, batch_size=128,
+                                        ring_in_hbm=True, stream_io=True))
+    dt = time.perf_counter() - t0
+    ok = out128.shape == (128, 16000) and out128.min() >= 0 \
+        and out128.max() < 256
+    check("stream-io b128 single pass", ok,
+          f"{128 * 16000 / dt / 1e6:.2f}M samples/s")
+    check("hbm-ring b64 100k sampled determinism",
+          bool(np.array_equal(out1, out2)),
+          f"diff_count={int(np.sum(out1 != out2))}")
+
+    print("\n" + ("ALL CHECKS PASSED" if not FAILURES
+                  else f"FAILED: {FAILURES}"), flush=True)
+    sys.exit(1 if FAILURES else 0)
+
+
+if __name__ == "__main__":
+    main()

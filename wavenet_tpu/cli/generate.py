@@ -188,8 +188,63 @@ def _generate_fast(params, config, args, key, gc_ids, seed_codes):
 def _generate_fast_chunked(params, config, args, key, gc_ids, seed_codes,
                            wavenet_params):
     """--save_every: generate in chunks, dumping the partial wav after
-    each (reference generate.py ≈:225). Uses the resumable scan sampler —
-    state carries across chunks, zero recompute."""
+    each (reference generate.py ≈:225). Tries the resumable streamed
+    Pallas kernel first (state carries across segments in the HBM ring);
+    falls back to the resumable scan sampler on compile failure."""
+    from wavenet_tpu.sampler_select import is_compile_failure
+
+    if args.sampler in ("auto", "pallas") and config.filter_width == 2 \
+            and jax.devices()[0].platform != "cpu":
+        try:
+            return _generate_chunked_pallas(params, config, args, gc_ids,
+                                            seed_codes, wavenet_params)
+        except Exception as e:
+            if not is_compile_failure(e):
+                raise
+            print(f"Pallas resumable sampler unavailable "
+                  f"({str(e).splitlines()[0][:90]}); using scan.")
+    return _generate_chunked_scan(params, config, args, key, gc_ids,
+                                  seed_codes, wavenet_params)
+
+
+def _generate_chunked_pallas(params, config, args, gc_ids, seed_codes,
+                             wavenet_params):
+    """Pallas --save_every: resumable streamed-kernel segments."""
+    from wavenet_tpu.audio import mu_law_decode_np, write_wav
+    from wavenet_tpu.kernels.sampler import generate_pallas_resumable
+
+    chunks = []
+    carry = None
+    done = 0
+    base_seed = args.seed if args.seed is not None else 0
+    segment = 0
+    while done < args.samples:
+        n = min(args.save_every, args.samples - done)
+        codes, carry = generate_pallas_resumable(
+            params, config, n, seed=base_seed + segment,
+            batch_size=args.batch_size, gc_ids=gc_ids,
+            temperature=args.temperature,
+            seed_codes=seed_codes if carry is None else None,
+            carry=carry)
+        if segment == 0:
+            print("Using fused Pallas (HBM ring, streamed, resumable) "
+                  "sampler.")
+        chunks.append(np.asarray(codes))
+        done += n
+        segment += 1
+        if args.wav_out_path:
+            partial = np.concatenate(chunks, axis=1)
+            wave = mu_law_decode_np(partial[0],
+                                    config.quantization_channels)
+            write_wav(args.wav_out_path, wave,
+                      wavenet_params["sample_rate"])
+            print(f"Sample {done}/{args.samples} — partial wav updated")
+    return jnp.asarray(np.concatenate(chunks, axis=1))
+
+
+def _generate_chunked_scan(params, config, args, key, gc_ids, seed_codes,
+                           wavenet_params):
+    """Scan-sampler --save_every (CPU and fallback path)."""
     from wavenet_tpu.audio import mu_law_decode_np, write_wav
     from wavenet_tpu.models.wavenet import embed_gc
     from wavenet_tpu.sample import (

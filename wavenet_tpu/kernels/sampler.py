@@ -292,7 +292,10 @@ def _run_sampler_kernel(packed: PackedSampler, forced: jnp.ndarray,
     # bc streams with chunk-local ring state and a decorrelated PRNG.
     # Lane dims can't be block-sliced, so the chunk axis leads.
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    n_log = n_total if collect_logits else 1
+    # collect_logits: True = every step; int W = ring of the last
+    # W steps (bounded VMEM for arbitrarily long runs); False = 1.
+    n_log = (n_total if collect_logits is True
+             else int(collect_logits) if collect_logits else 1)
     L, D = c.num_layers, c.dilation_channels
     # [n_total, B] -> [nb, n_total, bc]; [L, B, 2D] -> [nb, L, bc, 2D].
     forced_c = jnp.moveaxis(forced.reshape(n_total, nb, bc), 1, 0)
@@ -384,6 +387,40 @@ def hbm_sampler_vmem_bytes(config: WaveNetConfig, batch_size: int,
     return 4 * (weights + streams + slots + B * _lanes(Q))
 
 
+def stream_hbm_sampler_vmem_bytes(config: WaveNetConfig,
+                                  batch_size: int) -> int:
+    """VMEM footprint of the streamed-IO HBM-ring path: independent of
+    run length (forced/codes live in HBM behind [2, _IO_CHUNK, 128]
+    double buffers)."""
+    c = config
+    L, R, D, S, Q = (c.num_layers, c.residual_channels, c.dilation_channels,
+                     c.skip_channels, c.quantization_channels)
+    B = batch_size
+    weights = (2 * c.input_channels * _lanes(R)
+               + L * (2 * R * _lanes(2 * D) + B * _lanes(2 * D)
+                      + D * _lanes(R + S) + _lanes(R + S))
+               + S * _lanes(S) + _lanes(S) + S * _lanes(Q) + _lanes(Q))
+    slots = 2 * L * B * 128 + 64 * B * 128
+    io = 2 * 2 * _IO_CHUNK * 128
+    return 4 * (weights + slots + io + B * _lanes(Q))
+
+
+
+def _logits_in_step_order(logits, collect_logits, n_total: int):
+    """Undo the ring layout of a windowed logits buffer.
+
+    ``logits`` [n_log, B, Q] has step t at row t % n_log; the buffer
+    holds the LAST n_log steps. Returns those steps in order.
+    """
+    if collect_logits is True:
+        return logits
+    n_log = logits.shape[0]
+    if n_total <= n_log:
+        return logits[:n_total]
+    idx = (n_total - n_log + jnp.arange(n_log)) % n_log
+    return logits[idx]
+
+
 def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
                     seed: int, batch_size: int = 1,
                     gc_ids: Optional[jnp.ndarray] = None,
@@ -394,7 +431,8 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
                     weight_dtype=jnp.float32,
                     state_dtype=jnp.float32,
                     batch_chunk: int = 0,
-                    ring_in_hbm: bool = False):
+                    ring_in_hbm: bool = False,
+                    stream_io: bool = False):
     """Generate mu-law codes [B, n_samples] in a single kernel launch.
 
     ``seed_codes`` [B, T_seed] teacher-forces the first T_seed steps (queue
@@ -438,6 +476,28 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
     elif pad < 0:
         forced = forced[:n_total]
 
+    if ring_in_hbm and stream_io:
+        # Streamed-IO path: forced/codes live in HBM as [T_pad, 128]
+        # lane-padded streams (b >= 96 and arbitrarily long runs).
+        C = _IO_CHUNK
+        T_pad = -(-n_total // C) * C
+        forced_lanes = jnp.zeros((T_pad, 128), forced.dtype)
+        forced_lanes = forced_lanes.at[:n_total, 0:B].set(forced)
+        ring0, causal0 = _stream_zero_state(c, B)
+        args_s = (packed, forced_lanes, jnp.asarray([seed, 0], jnp.int32),
+                  ring0, causal0, c, n_total, n_forced, B, temperature,
+                  collect_logits)
+        if interpret:
+            with pltpu.force_tpu_interpret_mode():
+                codes, logits, _, _ = _run_sampler_kernel_hbm_stream(*args_s)
+        else:
+            codes, logits, _, _ = _run_sampler_kernel_hbm_stream(*args_s)
+        out_codes = codes[:, n_forced - 1:]
+        if collect_logits:
+            logits = _logits_in_step_order(logits, collect_logits, n_total)
+            return out_codes, jnp.moveaxis(logits, 0, 1)
+        return out_codes
+
     if ring_in_hbm:
         # Single-pass HBM-ring path: forced needs the chunk-major [1, T, B]
         # layout the kernel shares with the chunked variant.
@@ -452,6 +512,7 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
             codes, logits = _run_sampler_kernel_hbm(*args_h)
         out_codes = codes[:, n_forced - 1:]
         if collect_logits:
+            logits = _logits_in_step_order(logits, collect_logits, n_total)
             return out_codes, jnp.moveaxis(logits, 0, 1)
         return out_codes
 
@@ -466,7 +527,8 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
     # Emitted stream: forced[1:] then sampled — return only the sampled tail.
     out_codes = codes[:, n_forced - 1:]
     if collect_logits:
-        return out_codes, jnp.moveaxis(logits, 0, 1)  # [B, n_total, Q]
+        logits = _logits_in_step_order(logits, collect_logits, n_total)
+        return out_codes, jnp.moveaxis(logits, 0, 1)  # [B, n_log, Q]
     return out_codes
 
 
@@ -666,7 +728,10 @@ def _run_sampler_kernel_hbm(packed: PackedSampler, forced: jnp.ndarray,
         _sampler_kernel_hbm, config=c, offsets=ring_offsets(c),
         n_total=n_total, n_forced=n_forced, batch_size=B,
         inv_temperature=1.0 / temperature)
-    n_log = n_total if collect_logits else 1
+    # collect_logits: True = every step; int W = ring of the last
+    # W steps (bounded VMEM for arbitrarily long runs); False = 1.
+    n_log = (n_total if collect_logits is True
+             else int(collect_logits) if collect_logits else 1)
     zc = min(64, sum_d)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -703,3 +768,449 @@ def _run_sampler_kernel_hbm(packed: PackedSampler, forced: jnp.ndarray,
       packed.proj_w, packed.proj_add, packed.post1_w, packed.post1_b,
       packed.post2_w, packed.post2_b, forced)
     return jnp.transpose(codes[0]), logits[0]
+
+
+# ---------------------------------------------------------------------------
+# HBM-ring + streamed IO: forced/codes streams in HBM (b >= 96, any length)
+# ---------------------------------------------------------------------------
+
+_IO_CHUNK = 1024     # rows per forced/codes DMA chunk
+
+
+def _sampler_kernel_hbm_stream(
+    # scalar prefetch: [seed, t0] — t0 is the absolute step offset of
+    # this segment (ring-row phase for resumed generation)
+    seed_ref,
+    # inputs
+    causal_w_ref, layer_w_ref, layer_add_ref, proj_w_ref, proj_add_ref,
+    post1_w_ref, post1_b_ref, post2_w_ref, post2_b_ref,
+    forced_hbm,          # [T_pad, 128] fdtype — ANY (HBM), lanes 0:B used
+    ring_in_ref,         # [sum_d, B, 128] — ANY (HBM), ALIASED to ring_ref
+    causal_in_ref,       # [B, (kw-1)*C_in] f32 — carried shift register
+    # outputs
+    codes_hbm,           # [T_pad, 128] int32 — ANY (HBM)
+    logits_ref,          # [1, n_log, B, Q] VMEM
+    ring_ref,            # [sum_d, B, 128] — ANY (HBM)
+    causal_out_ref,      # [B, (kw-1)*C_in] f32
+    # scratch
+    causal_buf_ref, rbuf_ref, wbuf_ref, zbuf_ref,
+    fbuf_ref,            # [2, io_chunk, 128] fdtype — forced chunks
+    cbuf_ref,            # [2, io_chunk, 128] int32 — codes chunks
+    rsem, wsem, zsem, fsem, csem,
+    *,
+    config: WaveNetConfig, offsets: Tuple[int, ...], n_total: int,
+    n_forced: int, batch_size: int, inv_temperature: float, io_chunk: int,
+    resume: bool,
+):
+    """The HBM-ring sampler with forced/codes streamed through HBM.
+
+    The plain HBM-ring kernel keeps the whole [n_total, B] forced and
+    codes streams in VMEM, capping batch at ~64 and run length by VMEM.
+    Here both live in HBM ([T_pad, 128] — lanes padded to the tile so
+    full-lane DMA slices are legal) and move through double-buffered
+    [io_chunk, 128] VMEM windows:
+
+      * forced: chunk c is prefetched while chunk c-1 is consumed. The
+        loop body at step t reads forced[t+1], so the chunk boundary
+        work runs at t % C == C-1 (wait chunk ct+1, then prefetch
+        ct+2 into the slot chunk ct just vacated);
+      * codes: rows accumulate in a chunk slot; a full (or final
+        partial) slot is DMA'd out and the slot two chunks later waits
+        on it before its first write.
+
+    Ring protocol, sampling, and logits window are identical to
+    ``_sampler_kernel_hbm``.
+    """
+    c = config
+    L, R, D, S, Q = (c.num_layers, c.residual_channels, c.dilation_channels,
+                     c.skip_channels, c.quantization_channels)
+    B = batch_size
+    C_in = c.input_channels
+    C = io_chunk
+    n_chunks = -(-n_total // C)
+
+    pltpu.prng_seed(seed_ref[0])
+    t0 = seed_ref[1]
+    wbuf_ref[...] = jnp.zeros_like(wbuf_ref)
+    cbuf_ref[...] = jnp.zeros_like(cbuf_ref)   # pad lanes stay zero
+
+    sum_d = sum(c.dilations)
+    if resume:
+        # ring_in is aliased onto ring_ref: prior state is already in
+        # place; the shift register resumes from the carried window.
+        causal_buf_ref[...] = causal_in_ref[...]
+    else:
+        causal_buf_ref[...] = jnp.zeros_like(causal_buf_ref)
+        # Zero the HBM ring in chunks.
+        zbuf_ref[...] = jnp.zeros_like(zbuf_ref)
+        ZC = zbuf_ref.shape[0]
+        n_full = sum_d // ZC
+        for ci in range(n_full):
+            cp = pltpu.make_async_copy(
+                zbuf_ref, ring_ref.at[ci * ZC:(ci + 1) * ZC], zsem)
+            cp.start()
+            cp.wait()
+        rem_rows = sum_d - n_full * ZC
+        if rem_rows:
+            cp = pltpu.make_async_copy(zbuf_ref.at[0:rem_rows],
+                                       ring_ref.at[n_full * ZC:sum_d], zsem)
+            cp.start()
+            cp.wait()
+
+    def f_dma(ci):
+        return pltpu.make_async_copy(
+            forced_hbm.at[pl.ds(ci * C, C)], fbuf_ref.at[lax.rem(ci, 2)],
+            fsem.at[lax.rem(ci, 2)])
+
+    def c_dma(ci):
+        return pltpu.make_async_copy(
+            cbuf_ref.at[lax.rem(ci, 2)], codes_hbm.at[pl.ds(ci * C, C)],
+            csem.at[lax.rem(ci, 2)])
+
+    def featurize(x_col):
+        if c.scalar_input:
+            return x_col
+        iota = lax.broadcasted_iota(jnp.int32, (B, C_in), 1)
+        return (iota.astype(jnp.float32) == x_col).astype(jnp.float32)
+
+    mu = float(Q - 1)
+
+    def decode_amp(code_f):
+        sgn = 2.0 * (code_f / mu) - 1.0
+        mag = (1.0 / mu) * (jnp.exp(jnp.abs(sgn) * float(np.log1p(mu)))
+                            - 1.0)
+        return jnp.sign(sgn) * mag
+
+    def mu_law_encode_f(amp):
+        safe = jnp.minimum(jnp.abs(amp), 1.0)
+        magnitude = jnp.log1p(mu * safe) * float(1.0 / np.log1p(mu))
+        signal = jnp.sign(amp) * magnitude
+        return ((signal + 1.0) / 2.0 * mu + 0.5).astype(jnp.int32)
+
+    def read_dma(l, pos):
+        return pltpu.make_async_copy(ring_ref.at[pos], rbuf_ref.at[l],
+                                     rsem.at[l])
+
+    def write_dma(l, pos):
+        return pltpu.make_async_copy(wbuf_ref.at[l], ring_ref.at[pos],
+                                     wsem.at[l])
+
+    def row_pos(l, t):
+        # Ring phase follows the ABSOLUTE step so resumed segments keep
+        # reading/writing the rows where the previous segment left off.
+        return offsets[l] + (t0 + t) % c.dilations[l]
+
+    def step(t, x_col):
+        x = featurize(x_col)
+        prev = causal_buf_ref[...]
+        window = jnp.concatenate([prev, x], axis=-1)
+        current = jnp.dot(window.astype(causal_w_ref.dtype),
+                          causal_w_ref[...],
+                          preferred_element_type=jnp.float32)
+        causal_buf_ref[...] = window[:, C_in:]
+
+        for l in range(L):
+            @pl.when(t > 0)
+            def _(l=l):
+                write_dma(l, row_pos(l, t - 1)).wait()
+            read_dma(l, row_pos(l, t)).start()
+
+        skip_sum = jnp.zeros((B, S), jnp.float32)
+        for i in range(L):
+            read_dma(i, row_pos(i, t)).wait()
+            past = rbuf_ref[i, :, 0:R].astype(jnp.float32)
+            wbuf_ref[i, :, 0:R] = current
+            write_dma(i, row_pos(i, t)).start()
+            x_cat = jnp.concatenate([past, current], axis=-1)
+            fg = jnp.dot(x_cat.astype(layer_w_ref.dtype), layer_w_ref[i],
+                         preferred_element_type=jnp.float32)
+            fg = fg + layer_add_ref[0, i]
+            out = jnp.tanh(fg[:, :D]) * jax.nn.sigmoid(fg[:, D:])
+            ds = jnp.dot(out.astype(proj_w_ref.dtype), proj_w_ref[i],
+                         preferred_element_type=jnp.float32)
+            ds = ds + proj_add_ref[i]
+            current = current + ds[:, :R]
+            skip_sum = skip_sum + ds[:, R:]
+
+        h = jnp.maximum(skip_sum, 0.0)
+        h = jnp.dot(h.astype(post1_w_ref.dtype), post1_w_ref[...],
+                    preferred_element_type=jnp.float32) + post1_b_ref[...]
+        h = jnp.maximum(h, 0.0)
+        h = jnp.dot(h.astype(post2_w_ref.dtype), post2_w_ref[...],
+                    preferred_element_type=jnp.float32) + post2_b_ref[...]
+        return h
+
+    def sample_from(logits):
+        bits = pltpu.prng_random_bits((B, Q))
+        u = pltpu.bitcast(
+            (pltpu.bitcast(bits, jnp.uint32) >> 9) | 0x3F800000,
+            jnp.float32) - 1.0
+        u = jnp.maximum(u, 1e-20)
+        gumbel = -jnp.log(-jnp.log(u))
+        scores = logits * inv_temperature + gumbel
+        return jnp.argmax(scores, axis=-1, keepdims=True).astype(jnp.int32)
+
+    def get_forced(tt):
+        """forced row tt -> [B, 1] (from the chunk slot holding tt)."""
+        row = fbuf_ref[lax.rem(tt // C, 2), pl.ds(lax.rem(tt, C), 1), 0:B]
+        return jnp.transpose(row)
+
+    def body(t, x_col):
+        ct = t // C
+
+        # Forced-stream chunk boundary: body t reads forced[t+1], so the
+        # next chunk must land HERE (one step before the boundary).
+        @pl.when(jnp.logical_and(lax.rem(t, C) == C - 1,
+                                 ct + 1 < n_chunks))
+        def _():
+            f_dma(ct + 1).wait()
+
+            @pl.when(ct + 2 < n_chunks)
+            def _():
+                f_dma(ct + 2).start()
+
+        # Codes-stream slot reuse: chunk ct's first write waits out the
+        # DMA issued for chunk ct-2 (same slot).
+        @pl.when(jnp.logical_and(lax.rem(t, C) == 0, ct >= 2))
+        def _():
+            c_dma(ct - 2).wait()
+
+        logits = step(t, x_col)
+        logits_ref[0, lax.rem(t, logits_ref.shape[1])] = logits
+        sampled = sample_from(logits)
+        nxt = jnp.minimum(t + 1, n_total - 1)
+        forced_next = get_forced(nxt)
+        take_forced = t + 1 < n_forced
+        emitted = jnp.where(
+            t < n_forced - 1,
+            (mu_law_encode_f(forced_next) if c.scalar_input
+             else forced_next.astype(jnp.int32)),
+            sampled)
+        cbuf_ref[lax.rem(ct, 2), pl.ds(lax.rem(t, C), 1), 0:B] = (
+            jnp.transpose(emitted))
+
+        # Flush a completed (or final partial) codes chunk.
+        @pl.when(jnp.logical_or(lax.rem(t, C) == C - 1, t == n_total - 1))
+        def _():
+            c_dma(ct).start()
+
+        if c.scalar_input:
+            next_col = jnp.where(take_forced, forced_next,
+                                 decode_amp(sampled.astype(jnp.float32)))
+        else:
+            next_col = jnp.where(take_forced, forced_next,
+                                 sampled.astype(jnp.float32))
+        return next_col
+
+    # Prime the forced stream: chunk 0 must land before reading row 0.
+    f_dma(0).start()
+    f_dma(0).wait()
+
+    if n_chunks > 1:
+        f_dma(1).start()
+
+    first = get_forced(0).astype(jnp.float32)
+    lax.fori_loop(0, n_total, body, first, unroll=False)
+    causal_out_ref[...] = causal_buf_ref[...]
+
+    # Drain outstanding ring writes and codes flushes.
+    for l in range(L):
+        write_dma(l, row_pos(l, n_total - 1)).wait()
+    if n_chunks >= 2:
+        c_dma(n_chunks - 2).wait()
+    c_dma(n_chunks - 1).wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "n_total", "n_forced", "batch_size",
+                     "temperature", "collect_logits", "resume"),
+    donate_argnames=("ring_in",))
+def _run_sampler_kernel_hbm_stream(packed: PackedSampler,
+                                   forced_lanes: jnp.ndarray,
+                                   seed: jnp.ndarray,
+                                   ring_in: jnp.ndarray,
+                                   causal_in: jnp.ndarray,
+                                   config: WaveNetConfig, n_total: int,
+                                   n_forced: int, batch_size: int,
+                                   temperature: float, collect_logits,
+                                   resume: bool = False):
+    """seed: [2] int32 = [prng_seed, t0]. ring_in is DONATED and aliased
+    onto the ring output; pass zeros when resume=False."""
+    c = config
+    B, Q, R = batch_size, c.quantization_channels, c.residual_channels
+    L = c.num_layers
+    sum_d = sum(c.dilations)
+    kw_in = (c.initial_filter_width if c.scalar_input else c.filter_width)
+    C = _IO_CHUNK
+    T_pad = forced_lanes.shape[0]
+    assert T_pad % C == 0 and T_pad >= n_total
+    fdtype = forced_lanes.dtype
+    kernel = functools.partial(
+        _sampler_kernel_hbm_stream, config=c, offsets=ring_offsets(c),
+        n_total=n_total, n_forced=n_forced, batch_size=B,
+        inv_temperature=1.0 / temperature, io_chunk=C, resume=resume)
+    # collect_logits: True = every step; int W = ring of the last
+    # W steps (bounded VMEM for arbitrarily long runs); False = 1.
+    n_log = (n_total if collect_logits is True
+             else int(collect_logits) if collect_logits else 1)
+    zc = min(64, sum_d)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9
+                 + [pl.BlockSpec(memory_space=pl.ANY),      # forced
+                    pl.BlockSpec(memory_space=pl.ANY),      # ring_in
+                    pl.BlockSpec(memory_space=pltpu.VMEM)], # causal_in
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),         # codes (HBM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # logits window
+            pl.BlockSpec(memory_space=pl.ANY),         # ring (HBM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # causal_out
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, (kw_in - 1) * c.input_channels), jnp.float32),
+            pltpu.VMEM((L, B, 128), jnp.float32),      # rbuf
+            pltpu.VMEM((L, B, 128), jnp.float32),      # wbuf
+            pltpu.VMEM((zc, B, 128), jnp.float32),     # zbuf
+            pltpu.VMEM((2, C, 128), fdtype),           # forced chunks
+            pltpu.VMEM((2, C, 128), jnp.int32),        # codes chunks
+            pltpu.SemaphoreType.DMA((L,)),
+            pltpu.SemaphoreType.DMA((L,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    # Operand index 11 (seed, 9 weights, forced, RING_IN) aliases output
+    # index 2 (the ring): prior segment state is updated in place.
+    codes, logits, ring, causal_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((T_pad, 128), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_log, B, Q), jnp.float32),
+            jax.ShapeDtypeStruct((sum_d, B, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, (kw_in - 1) * c.input_channels),
+                                 jnp.float32),
+        ),
+        input_output_aliases={11: 2},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(seed, packed.causal_w, packed.layer_w,
+      packed.layer_add[None],
+      packed.proj_w, packed.proj_add, packed.post1_w, packed.post1_b,
+      packed.post2_w, packed.post2_b, forced_lanes, ring_in, causal_in)
+    return (jnp.transpose(codes[:n_total, 0:B]), logits[0], ring,
+            causal_out)
+
+
+# ---------------------------------------------------------------------------
+# Resumable streamed generation (kernel state export): --save_every et al.
+# ---------------------------------------------------------------------------
+
+class StreamSamplerCarry(NamedTuple):
+    """State between resumable streamed-sampler segments."""
+    ring: jnp.ndarray       # [sum_d, B, 128] f32 — HBM ring (donated in)
+    causal: jnp.ndarray     # [B, (kw-1)*C_in] f32 — causal shift register
+    t_abs: int              # absolute steps completed (ring phase)
+    last: jnp.ndarray       # [B] last emitted code (or amplitude, scalar)
+
+
+def _stream_zero_state(config: WaveNetConfig, batch_size: int):
+    c = config
+    kw_in = (c.initial_filter_width if c.scalar_input else c.filter_width)
+    ring = jnp.zeros((sum(c.dilations), batch_size, 128), jnp.float32)
+    causal = jnp.zeros((batch_size, (kw_in - 1) * c.input_channels),
+                       jnp.float32)
+    return ring, causal
+
+
+def generate_pallas_resumable(params: Params, config: WaveNetConfig,
+                              n_samples: int, seed: int,
+                              batch_size: int = 1,
+                              gc_ids: Optional[jnp.ndarray] = None,
+                              temperature: float = 1.0,
+                              seed_codes: Optional[jnp.ndarray] = None,
+                              carry: Optional[StreamSamplerCarry] = None,
+                              weight_dtype=jnp.float32,
+                              interpret: bool = False):
+    """One SEGMENT of streamed generation; returns (codes, carry').
+
+    First call (carry=None): primes exactly like ``generate_pallas``
+    (seed_codes, or the rf-1-silence + random-first unseeded recipe).
+    Continuations pass the returned carry — the kernel resumes from the
+    HBM ring (donated and updated in place), the causal shift register,
+    and the absolute ring phase, so the concatenated segments equal one
+    single long run sample-for-sample (same PRNG seed stream per
+    segment; vary ``seed`` per segment for fresh randomness).
+
+    This is what --save_every uses on the Pallas path: generate a
+    segment, dump the partial wav, resume (reference generate.py ≈:225
+    semantics without leaving the fused kernel).
+    """
+    c = config
+    if c.filter_width != 2:
+        raise NotImplementedError("Pallas sampler requires filter_width=2")
+    B = batch_size
+    gc_emb = embed_gc(params, c, gc_ids) if gc_ids is not None else None
+    packed = pack_sampler_weights(params, c, B, gc_emb, weight_dtype)
+    fdtype = jnp.float32 if c.scalar_input else jnp.int32
+
+    if carry is None:
+        resume = False
+        t0 = 0
+        ring_in, causal_in = _stream_zero_state(c, B)
+        if seed_codes is None:
+            if c.scalar_input:
+                seed_codes = jnp.zeros((B, c.receptive_field), jnp.float32)
+            else:
+                silence = jnp.full((B, c.receptive_field - 1),
+                                   c.quantization_channels // 2, jnp.int32)
+                first = jax.random.randint(
+                    jax.random.PRNGKey(seed), (B,), 0,
+                    c.quantization_channels)
+                seed_codes = jnp.concatenate([silence, first[:, None]],
+                                             axis=1)
+    else:
+        resume = True
+        t0 = carry.t_abs
+        ring_in, causal_in = carry.ring, carry.causal
+        if seed_codes is not None:
+            raise ValueError("seed_codes only apply to the first segment")
+        seed_codes = carry.last[:, None].astype(fdtype)
+
+    n_forced = int(seed_codes.shape[1])
+    n_total = n_forced - 1 + n_samples
+    forced = jnp.transpose(seed_codes.astype(fdtype))
+    pad = n_total - n_forced
+    if pad > 0:
+        forced = jnp.concatenate([forced, jnp.zeros((pad, B), fdtype)],
+                                 axis=0)
+    elif pad < 0:
+        forced = forced[:n_total]
+
+    C = _IO_CHUNK
+    T_pad = -(-n_total // C) * C
+    forced_lanes = jnp.zeros((T_pad, 128), forced.dtype)
+    forced_lanes = forced_lanes.at[:n_total, 0:B].set(forced)
+    args = (packed, forced_lanes, jnp.asarray([seed, t0], jnp.int32),
+            ring_in, causal_in, c, n_total, n_forced, B, temperature,
+            False, resume)
+    if interpret:
+        with pltpu.force_tpu_interpret_mode():
+            codes, _, ring, causal = _run_sampler_kernel_hbm_stream(*args)
+    else:
+        codes, _, ring, causal = _run_sampler_kernel_hbm_stream(*args)
+
+    out_codes = codes[:, n_forced - 1:]
+    if c.scalar_input:
+        # The autoregressive carry is the decoded amplitude of the last
+        # emitted code (what the next segment must feed first).
+        from wavenet_tpu.audio import mu_law_decode
+        last = mu_law_decode(out_codes[:, -1], c.quantization_channels)
+    else:
+        last = out_codes[:, -1]
+    new_carry = StreamSamplerCarry(ring=ring, causal=causal,
+                                   t_abs=t0 + n_total, last=last)
+    return out_codes, new_carry

@@ -52,7 +52,8 @@ def sampler_attempts(config, batch_size: int, n_total: int,
     implicit final fallback. ``n_total`` = forced prefix + samples (the
     unseeded recipe primes receptive_field codes)."""
     from wavenet_tpu.kernels.sampler import (
-        hbm_sampler_vmem_bytes, sampler_vmem_bytes)
+        hbm_sampler_vmem_bytes, sampler_vmem_bytes,
+        stream_hbm_sampler_vmem_bytes)
 
     eligible = (sampler in ("auto", "pallas")
                 and config.filter_width == 2
@@ -68,6 +69,10 @@ def sampler_attempts(config, batch_size: int, n_total: int,
                          dict(state_dtype=jnp.bfloat16)))
     if hbm_sampler_vmem_bytes(config, batch_size, n_total) < GENEROUS_VMEM:
         attempts.append(("Pallas (HBM ring)", dict(ring_in_hbm=True)))
+    if stream_hbm_sampler_vmem_bytes(config, batch_size) < GENEROUS_VMEM:
+        # Run-length-independent VMEM: the big-batch / long-run workhorse.
+        attempts.append(("Pallas (HBM ring, streamed IO)",
+                         dict(ring_in_hbm=True, stream_io=True)))
     for bc in (16, 8, 4, 2, 1):
         if (batch_size % bc == 0 and bc < batch_size
                 and sampler_vmem_bytes(config, bc, n_total,
