@@ -49,12 +49,16 @@ class WaveNetConfig:
     # (jax.checkpoint) — trades ~30% more FLOPs for O(L) x less activation
     # memory; enables long sample_size / large batch on one chip.
     remat: bool = False
-    # TPU-specific (EXPERIMENTAL): run the dilated stack through the fused
-    # Pallas layer kernel (kernels/dilated_layer.py) — whole layer per
-    # VMEM tile with a flash-style recomputing custom VJP. Requires
-    # filter_width == 2. Currently SLOWER than the XLA path (see the
-    # kernel's STATUS note); off by default.
+    # TPU-specific (EXPERIMENTAL): run the dilated stack through a fused
+    # Pallas whole-stack kernel. Requires filter_width == 2.
     use_pallas_stack: bool = False
+    # Which fused-stack kernel: 2 = streamed-DMA big-tile kernel
+    # (kernels/fused_stack2.py), 1 = round-1 block-buffered kernel
+    # (kernels/fused_stack.py, kept as a parity baseline).
+    pallas_stack_version: int = 2
+    # XLA-path experiment: run filter+gate as ONE conv with concatenated
+    # [fw, R, 2D] weights (identical numerics, half the conv calls).
+    merged_filter_gate: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "dilations", tuple(self.dilations))

@@ -226,8 +226,19 @@ def _dilated_stack(params: Params, c: WaveNetConfig, current: jnp.ndarray,
         # Gated unit: out = tanh(Wf*x [+gc+b]) . sigmoid(Wg*x [+gc+b])
         w_f = _maybe_cast(layer_params["filter"], c)
         w_g = _maybe_cast(layer_params["gate"], c)
-        conv_filter = causal_conv_padded(current, w_f, dilation, precision)
-        conv_gate = causal_conv_padded(current, w_g, dilation, precision)
+        if c.merged_filter_gate:
+            # One conv with [fw, R, 2D] weights instead of two [fw, R, D]
+            # convs: halves the conv count and doubles the matmul N dim
+            # (identical numerics — the filter|gate split is just columns).
+            w_cat = jnp.concatenate([w_f, w_g], axis=-1)
+            conv_fg = causal_conv_padded(current, w_cat, dilation, precision)
+            D_ = w_f.shape[-1]
+            conv_filter = conv_fg[..., :D_]
+            conv_gate = conv_fg[..., D_:]
+        else:
+            conv_filter = causal_conv_padded(current, w_f, dilation,
+                                             precision)
+            conv_gate = causal_conv_padded(current, w_g, dilation, precision)
 
         if gc is not None:
             gcf = (gc @ _maybe_cast(layer_params["gc_filter"], c))[:, None, :]
@@ -322,25 +333,37 @@ def _dilated_stack_pallas(params: Params, c: WaveNetConfig,
                           compute_dtype, precision) -> jnp.ndarray:
     """Dilated stack via the whole-stack fused kernel (+ deferred skip).
 
-    One pallas_call runs all L layers (kernels/fused_stack.py) with a
-    recompute-free custom VJP; the deferred skip head and postprocessing
-    stay in XLA.
+    One pallas_call runs all L layers with a recompute-free custom VJP;
+    the deferred skip head and postprocessing stay in XLA. Version 2
+    (kernels/fused_stack2.py, default) streams fg/z/dz with manual DMA so
+    time tiles are 4-16x larger; version 1 (kernels/fused_stack.py) is
+    the round-1 block-buffered kernel, kept as a parity baseline.
     """
-    from wavenet_tpu.kernels.fused_stack import (
-        fused_stack, pack_stack_weights, supports)
-
-    if not supports(c):
-        raise NotImplementedError(
-            "use_pallas_stack requires filter_width=2 and max dilation "
-            "<= the kernel tile size")
     B = current.shape[0]
     L, D, S = c.num_layers, c.dilation_channels, c.skip_channels
-    w_fg, wd, add, bd = pack_stack_weights(params, c, gc_embedding, B)
-
     kernel_dtype = (jnp.bfloat16 if c.compute_dtype == "bfloat16"
                     else jnp.float32)
-    _, all_outs = fused_stack(current.astype(jnp.float32), w_fg, wd, add,
-                              bd, c, kernel_dtype)
+
+    if c.pallas_stack_version == 2:
+        from wavenet_tpu.kernels.fused_stack2 import (
+            fused_stack2, pack_stack_weights, supports)
+        if not supports(c):
+            raise NotImplementedError(
+                "use_pallas_stack requires filter_width=2 and max "
+                "dilation <= the kernel tile size")
+        w_fg, wd, add, bd = pack_stack_weights(params, c, gc_embedding, B)
+        _, all_outs = fused_stack2(current.astype(jnp.float32), w_fg, wd,
+                                   add, bd, c, kernel_dtype)
+    else:
+        from wavenet_tpu.kernels.fused_stack import (
+            fused_stack, pack_stack_weights, supports)
+        if not supports(c):
+            raise NotImplementedError(
+                "use_pallas_stack requires filter_width=2 and max "
+                "dilation <= the kernel tile size")
+        w_fg, wd, add, bd = pack_stack_weights(params, c, gc_embedding, B)
+        _, all_outs = fused_stack(current.astype(jnp.float32), w_fg, wd,
+                                  add, bd, c, kernel_dtype)
 
     w_skip_all = _maybe_cast(params["skip"].reshape(L * D, S), c)
     skip_sum = jnp.einsum("btc,co->bto", _maybe_cast(all_outs, c),
