@@ -1,6 +1,13 @@
 # Developer entry points.
 
-.PHONY: test native bench clean
+.PHONY: test native bench clean stress
+
+# On-TPU DMA/race stress test of the Pallas samplers (VERDICT r1 item 4):
+# cross-implementation logits at 2k and 100k steps, b64/b128, d=1-heavy
+# config, same-seed determinism. Run with no other TPU process alive.
+# Result recorded in baselines/sampler_stress_r2.txt.
+stress:
+	python tools/r2_sampler_stress.py
 
 native:
 	$(MAKE) -C native

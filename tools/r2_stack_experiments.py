@@ -12,9 +12,12 @@ synchronize through the axon relay.
 Usage: python tools/r2_stack_experiments.py [quick]
 """
 
+import os
 import sys
 import time
 import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -165,25 +168,33 @@ def main():
                                 jax.lax.Precision.DEFAULT)
         return jnp.sum(logits * 1e-3)
 
-    gx = jax.jit(jax.grad(xla_stack_loss, argnums=0))
+    # Reduce grads to ONE scalar inside jit: a full-leaf readback through
+    # the axon relay costs ~700 ms of pure transfer and swamps the step.
+    def scalarized(grad_fn):
+        return jax.jit(lambda *a: sum(
+            jnp.sum(t) for t in jax.tree.leaves(grad_fn(*a))))
+
+    gx = scalarized(jax.grad(xla_stack_loss, argnums=0))
     timed("xla_stack+head_fwdbwd", lambda: gx(x_big, params))
 
     tile_list = [(2048, 1024)] if QUICK else [
-        (2048, 1024), (2048, 512), (4096, 1024), (1024, 1024), (4096, 2048)]
+        (2048, 1024), (4096, 1024), (4096, 2048), (8192, 2048),
+        (8192, 4096)]
     for tf, tb in tile_list:
         def stack_loss(x, w, tf=tf, tb=tb):
             y, z = fused_stack2(x, w, wdB, addB, bdB, cfg, jnp.bfloat16,
                                 tf, tb)
             return jnp.sum(y * cyB) + jnp.sum(z.astype(jnp.float32) * 1e-3)
 
-        g = jax.jit(jax.grad(stack_loss, argnums=(0, 1)))
+        g = scalarized(jax.grad(stack_loss, argnums=(0, 1)))
         dt = timed(f"v2_stack_fwdbwd_tf{tf}_tb{tb}",
                    lambda g=g: g(x_big, w_fgB))
         audio_sps(f"v2_stack tf{tf} tb{tb}", dt)
 
     # forward-only at the default tile
-    fwd = jax.jit(lambda x: fused_stack2_forward(
-        x, w_fgB, wdB, addB, bdB, cfg, jnp.bfloat16, jnp.bfloat16, 2048)[0])
+    fwd = jax.jit(lambda x: jnp.sum(fused_stack2_forward(
+        x, w_fgB, wdB, addB, bdB, cfg, jnp.bfloat16, jnp.bfloat16,
+        2048)[0]))
     timed("v2_stack_fwdonly_tf2048", lambda: fwd(x_big))
 
     # ---- full train step with the v2 stack --------------------------

@@ -51,6 +51,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from wavenet_tpu.kernels.mxu import mxu_dot
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -68,13 +70,12 @@ def _fwd_kernel(cur_ref, past_ref, w_ref, wd_ref, add_ref, bd_ref,
     b = pl.program_id(0)
     cur = cur_ref[0]                      # [Tt, R]
     past = past_ref[0]
-    fg = (jnp.dot(cur, w_ref[1], preferred_element_type=jnp.float32)
-          + jnp.dot(past, w_ref[0], preferred_element_type=jnp.float32)
+    fg = (mxu_dot(cur, w_ref[1])
+          + mxu_dot(past, w_ref[0])
           + add_ref[pl.ds(b, 1), :])      # [Tt, 2D]
     z = jnp.tanh(fg[:, :D]) * jax.nn.sigmoid(fg[:, D:])
     y_ref[0] = (cur.astype(jnp.float32)
-                + jnp.dot(z.astype(wd_ref.dtype), wd_ref[...],
-                          preferred_element_type=jnp.float32) + bd_ref[0])
+                + mxu_dot(z.astype(wd_ref.dtype), wd_ref[...]) + bd_ref[0])
     z_ref[0] = z
 
 
@@ -87,8 +88,8 @@ def _bwd_kernel(cur_ref, past_ref, w_ref, wd_ref, add_ref,
 
     cur = cur_ref[0]
     past = past_ref[0]
-    fg = (jnp.dot(cur, w_ref[1], preferred_element_type=jnp.float32)
-          + jnp.dot(past, w_ref[0], preferred_element_type=jnp.float32)
+    fg = (mxu_dot(cur, w_ref[1])
+          + mxu_dot(past, w_ref[0])
           + add_ref[pl.ds(b, 1), :])
     t_ = jnp.tanh(fg[:, :D])
     s_ = jax.nn.sigmoid(fg[:, D:])
@@ -96,8 +97,7 @@ def _bwd_kernel(cur_ref, past_ref, w_ref, wd_ref, add_ref,
 
     dy = dy_ref[0].astype(jnp.float32)    # [Tt, R]
     dz = (dz_extra_ref[0].astype(jnp.float32)
-          + jnp.dot(dy_ref[0].astype(wd_ref.dtype), wd_ref[...].T,
-                    preferred_element_type=jnp.float32))  # [Tt, D]
+          + mxu_dot(dy_ref[0].astype(wd_ref.dtype), wd_ref[...].T))  # [Tt, D]
 
     da_f = dz * s_ * (1.0 - t_ * t_)
     da_g = dz * t_ * s_ * (1.0 - s_)
@@ -109,16 +109,14 @@ def _bwd_kernel(cur_ref, past_ref, w_ref, wd_ref, add_ref,
 
     # dx at t: residual + current-tap backprop. Tap-0 term (lands at t-d)
     # goes out separately; the host shift-adds it.
-    dx_ref[0] = dy + jnp.dot(da_c, w_ref[1].T,
-                             preferred_element_type=jnp.float32)
-    dpast_ref[0] = jnp.dot(da_c, w_ref[0].T,
-                           preferred_element_type=jnp.float32)
+    dx_ref[0] = dy + mxu_dot(da_c, w_ref[1].T)
+    dpast_ref[0] = mxu_dot(da_c, w_ref[0].T)
 
     # Gradient accumulation across the (sequential) grid.
     first = jnp.logical_and(b == 0, jt == 0)
-    dw0 = jnp.dot(past.T, da_c, preferred_element_type=jnp.float32)
-    dw1 = jnp.dot(cur.T, da_c, preferred_element_type=jnp.float32)
-    dwd = jnp.dot(z_c.T, dy_c, preferred_element_type=jnp.float32)
+    dw0 = mxu_dot(past.T, da_c)
+    dw1 = mxu_dot(cur.T, da_c)
+    dwd = mxu_dot(z_c.T, dy_c)
     dbd_row = jnp.sum(dy, axis=0, keepdims=True)        # [1, R]
     dadd_row = jnp.sum(da, axis=0, keepdims=True)       # [1, 2D]
 

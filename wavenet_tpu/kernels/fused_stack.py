@@ -49,6 +49,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from wavenet_tpu.kernels.mxu import mxu_dot
 from wavenet_tpu.models.config import WaveNetConfig
 
 _T_TILE = 512  # max dilation <= t_tile is required; fg/dz block
@@ -90,23 +91,19 @@ def _fwd_kernel(x_ref, w_fg_ref, wd_ref, add_ref, bd_ref,
         o = offs[l]
         add_row = add_ref[pl.ds(b, 1), pl.ds(l, 1), :][0]   # [1, 2D]
         # Current tap + additive terms.
-        fgs_ref[...] = (jnp.dot(cur_ref[...].astype(cdt), w_fg_ref[l, R:, :],
-                                preferred_element_type=jnp.float32)
+        fgs_ref[...] = (mxu_dot(cur_ref[...].astype(cdt), w_fg_ref[l, R:, :])
                         + add_row)
         # Past tap: first d rows come from the carry (previous tile's
         # tail of THIS layer's input), the rest from in-tile rows.
         # (d == Tt is a static special case: the whole tap is the carry.)
         if d < Tt:
-            fgs_ref[0:d, :] += jnp.dot(tap_ref[o:o + d, :].astype(cdt),
-                                       w_fg_ref[l, :R, :],
-                                       preferred_element_type=jnp.float32)
-            fgs_ref[d:Tt, :] += jnp.dot(cur_ref[0:Tt - d, :].astype(cdt),
-                                        w_fg_ref[l, :R, :],
-                                        preferred_element_type=jnp.float32)
+            fgs_ref[0:d, :] += mxu_dot(tap_ref[o:o + d, :].astype(cdt),
+                                       w_fg_ref[l, :R, :])
+            fgs_ref[d:Tt, :] += mxu_dot(cur_ref[0:Tt - d, :].astype(cdt),
+                                        w_fg_ref[l, :R, :])
         else:
-            fgs_ref[...] += jnp.dot(tap_ref[o:o + d, :].astype(cdt),
-                                    w_fg_ref[l, :R, :],
-                                    preferred_element_type=jnp.float32)
+            fgs_ref[...] += mxu_dot(tap_ref[o:o + d, :].astype(cdt),
+                                    w_fg_ref[l, :R, :])
         # Refresh the carry with this tile's tail BEFORE updating cur.
         tap_ref[o:o + d, :] = cur_ref[Tt - d:Tt, :]
 
@@ -115,8 +112,7 @@ def _fwd_kernel(x_ref, w_fg_ref, wd_ref, add_ref, bd_ref,
         zz_ref[...] = (jnp.tanh(fgs_ref[:, :D])
                        * jax.nn.sigmoid(fgs_ref[:, D:]))
         cur_ref[...] = (cur_ref[...]
-                        + jnp.dot(zz_ref[...].astype(cdt), wd_ref[l],
-                                  preferred_element_type=jnp.float32)
+                        + mxu_dot(zz_ref[...].astype(cdt), wd_ref[l])
                         + bd_ref[l])
 
     y_ref[0] = cur_ref[...]
@@ -215,14 +211,12 @@ def _bwd_kernel(y_ref, fg_ref, dz_ref, dy_ref,
         zz_ref[...] = t_ * s_
 
         # Grads that read dcur_{l+1} (the CURRENT content of dcur_ref).
-        dwd_c = jnp.dot(zz_ref[...].astype(cdt).T,
-                        dcur_ref[...].astype(cdt),
-                        preferred_element_type=jnp.float32)     # [D, R]
+        dwd_c = mxu_dot(zz_ref[...].astype(cdt).T,
+                        dcur_ref[...].astype(cdt))     # [D, R]
         dbd_row = jnp.sum(dcur_ref[...], axis=0, keepdims=True)  # [1, R]
 
         dz = dz_ref[0, :, D * l:D * (l + 1)].astype(jnp.float32)
-        dz = dz + jnp.dot(dcur_ref[...].astype(cdt), wd_ref[l].T,
-                          preferred_element_type=jnp.float32)
+        dz = dz + mxu_dot(dcur_ref[...].astype(cdt), wd_ref[l].T)
 
         da_ref[:, 0:D] = dz * s_ * (1.0 - t_ * t_)
         da_ref[:, D:2 * D] = dz * t_ * s_ * (1.0 - s_)
@@ -230,29 +224,23 @@ def _bwd_kernel(y_ref, fg_ref, dz_ref, dy_ref,
 
         # Reconstruct current_l (this layer's input).
         cur_ref[...] = (cur_ref[...]
-                        - jnp.dot(zz_ref[...].astype(cdt), wd_ref[l],
-                                  preferred_element_type=jnp.float32)
+                        - mxu_dot(zz_ref[...].astype(cdt), wd_ref[l])
                         - bd_ref[l])
 
         # Weight grads over THIS tile's rows.
-        dw1 = jnp.dot(cur_ref[...].astype(cdt).T, da_ref[...].astype(cdt),
-                      preferred_element_type=jnp.float32)
+        dw1 = mxu_dot(cur_ref[...].astype(cdt).T, da_ref[...].astype(cdt))
         # Cross-tile: our tail rows pair with the NEXT tile's da head
         # (left in vcarry by the previous grid step).
-        dw0 = jnp.dot(cur_ref[Tt - d:Tt, :].astype(cdt).T,
-                      vcarry_ref[o:o + d, :].astype(cdt),
-                      preferred_element_type=jnp.float32)
+        dw0 = mxu_dot(cur_ref[Tt - d:Tt, :].astype(cdt).T,
+                      vcarry_ref[o:o + d, :].astype(cdt))
         if d < Tt:
-            dw0 = dw0 + jnp.dot(cur_ref[0:Tt - d, :].astype(cdt).T,
-                                da_ref[d:Tt, :].astype(cdt),
-                                preferred_element_type=jnp.float32)
+            dw0 = dw0 + mxu_dot(cur_ref[0:Tt - d, :].astype(cdt).T,
+                                da_ref[d:Tt, :].astype(cdt))
 
         # dcur_l = dcur_{l+1} (residual) + both tap backprops.
-        tmp_ref[...] = jnp.dot(da_ref[...].astype(cdt), w_fg_ref[l, R:, :].T,
-                               preferred_element_type=jnp.float32)
+        tmp_ref[...] = mxu_dot(da_ref[...].astype(cdt), w_fg_ref[l, R:, :].T)
         dcur_ref[...] += tmp_ref[...]
-        tmp_ref[...] = jnp.dot(da_ref[...].astype(cdt), w_fg_ref[l, :R, :].T,
-                               preferred_element_type=jnp.float32)
+        tmp_ref[...] = mxu_dot(da_ref[...].astype(cdt), w_fg_ref[l, :R, :].T)
         if d < Tt:
             dcur_ref[0:Tt - d, :] += tmp_ref[d:Tt, :]
         # Consume the later tile's tap-grad carry into our tail, then

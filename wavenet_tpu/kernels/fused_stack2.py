@@ -59,12 +59,17 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from wavenet_tpu.kernels.mxu import mxu_dot
 from wavenet_tpu.models.config import WaveNetConfig
 from wavenet_tpu.kernels.fused_stack import pack_stack_weights, tap_offsets
 
 _T_TILE_FWD = 2048
 _T_TILE_BWD = 1024
 _REC = 128      # lanes per layer record (DMA lane-tile alignment)
+# Mosaic's default VMEM budget (~16 MB) rejects the larger time tiles;
+# v5e has 128 MB of physical VMEM per core — let tiles up to ~8k rows
+# compile and let the scheduler arbitrate.
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def supports(config: WaveNetConfig, t_tile: int = _T_TILE_BWD) -> bool:
@@ -123,8 +128,7 @@ def _fwd_kernel(x_ref, w_fg_ref, wd_ref, add_ref, bd_ref,
         tap_ref[o:o + d, :] = cur_ref[Tt - d:Tt, :]
 
         add_row = add_ref[pl.ds(l, 1), pl.ds(b, 1), :][0]     # [1, 2D]
-        fgs_ref[...] = (jnp.dot(cat_ref[...], w_fg_ref[l],
-                                preferred_element_type=jnp.float32)
+        fgs_ref[...] = (mxu_dot(cat_ref[...], w_fg_ref[l])
                         + add_row)
         zz = jnp.tanh(fgs_ref[:, :D]) * jax.nn.sigmoid(fgs_ref[:, D:])
         recbuf_ref[slot, :, 0:2 * D] = fgs_ref[...].astype(recbuf_ref.dtype)
@@ -132,8 +136,7 @@ def _fwd_kernel(x_ref, w_fg_ref, wd_ref, add_ref, bd_ref,
         rec_dma(l).start()
 
         cur_ref[...] = (cur_ref[...]
-                        + jnp.dot(zz.astype(cdt), wd_ref[l],
-                                  preferred_element_type=jnp.float32)
+                        + mxu_dot(zz.astype(cdt), wd_ref[l])
                         + bd_ref[l])
 
     y_ref[0] = cur_ref[...]
@@ -182,7 +185,8 @@ def fused_stack2_forward(x, w_fg, wd, add, bd, config: WaveNetConfig,
             pltpu.VMEM((sum_d, R), jnp.float32),           # tap carry
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(x_p, w_fg.astype(compute_dtype), wd.astype(compute_dtype),
       add_f, bd.astype(jnp.float32))
@@ -250,14 +254,12 @@ def _bwd_kernel(y_ref, dy_ref, dz_ref, w_fg_ref, wd_ref, bd_ref,
         zz_ref[...] = t_ * s_
 
         # Grads that read dcur_{l+1} (current content of dcur_ref).
-        dwd_c = jnp.dot(zz_ref[...].astype(cdt).T,
-                        dcur_ref[...].astype(cdt),
-                        preferred_element_type=jnp.float32)      # [D, R]
+        dwd_c = mxu_dot(zz_ref[...].astype(cdt).T,
+                        dcur_ref[...].astype(cdt))      # [D, R]
         dbd_row = jnp.sum(dcur_ref[...], axis=0, keepdims=True)  # [1, R]
 
         dz = dz_ref[0, :, D * l:D * (l + 1)].astype(jnp.float32)
-        dz = dz + jnp.dot(dcur_ref[...].astype(cdt), wd_ref[l].T,
-                          preferred_element_type=jnp.float32)
+        dz = dz + mxu_dot(dcur_ref[...].astype(cdt), wd_ref[l].T)
 
         da_ref[:, 0:D] = dz * s_ * (1.0 - t_ * t_)
         da_ref[:, D:2 * D] = dz * t_ * s_ * (1.0 - s_)
@@ -265,8 +267,7 @@ def _bwd_kernel(y_ref, dy_ref, dz_ref, w_fg_ref, wd_ref, bd_ref,
 
         # Reconstruct current_l (this layer's input).
         cur_ref[...] = (cur_ref[...]
-                        - jnp.dot(zz_ref[...].astype(cdt), wd_ref[l],
-                                  preferred_element_type=jnp.float32)
+                        - mxu_dot(zz_ref[...].astype(cdt), wd_ref[l])
                         - bd_ref[l])
 
         # Packed weight grad: [past | current] columns in one matmul.
@@ -274,17 +275,14 @@ def _bwd_kernel(y_ref, dy_ref, dz_ref, w_fg_ref, wd_ref, bd_ref,
         cat_ref[0:d, 0:R] = jnp.zeros((d, R), cat_ref.dtype)
         if d < Tt:
             cat_ref[d:Tt, 0:R] = cur_ref[0:Tt - d, :].astype(cdt)
-        dw_cat = jnp.dot(cat_ref[...].T, da_ref[...].astype(cdt),
-                         preferred_element_type=jnp.float32)     # [2R, 2D]
+        dw_cat = mxu_dot(cat_ref[...].T, da_ref[...].astype(cdt))     # [2R, 2D]
         # Cross-tile past-tap rows: our tail inputs pair with the LATER
         # tile's da head (left in vcarry by the previous grid step).
-        dw0_x = jnp.dot(cur_ref[Tt - d:Tt, :].astype(cdt).T,
-                        vcarry_ref[o:o + d, :].astype(cdt),
-                        preferred_element_type=jnp.float32)      # [R, 2D]
+        dw0_x = mxu_dot(cur_ref[Tt - d:Tt, :].astype(cdt).T,
+                        vcarry_ref[o:o + d, :].astype(cdt))      # [R, 2D]
 
         # dcur_l = residual passthrough + both tap backprops.
-        tmp_ref[...] = jnp.dot(da_ref[...].astype(cdt), w_fg_ref[l].T,
-                               preferred_element_type=jnp.float32)  # [Tt,2R]
+        tmp_ref[...] = mxu_dot(da_ref[...].astype(cdt), w_fg_ref[l].T)  # [Tt,2R]
         dcur_ref[...] += tmp_ref[:, R:]
         if d < Tt:
             dcur_ref[0:Tt - d, :] += tmp_ref[d:Tt, 0:R]
@@ -370,7 +368,8 @@ def fused_stack2_backward(y, dy, fgz, dz, w_fg, wd, bd,
             pltpu.VMEM((sum_d, 2 * D), jnp.float32),       # vcarry
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(y_p, dy_p, dz_p, w_fg.astype(compute_dtype), wd.astype(compute_dtype),
       bd.astype(jnp.float32), fgz_p)

@@ -44,8 +44,15 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from wavenet_tpu.kernels.mxu import mxu_dot
 from wavenet_tpu.models.config import WaveNetConfig
 from wavenet_tpu.models.wavenet import Params, embed_gc
+
+# Mosaic's default scoped-VMEM budget (~16 MB) rejects wider logits
+# windows / bigger batches that the hardware (v5e: 128 MB VMEM/core)
+# holds comfortably; raise the per-kernel budget and let the ordered
+# fallback in sampler_select handle genuine overflows.
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 class PackedSampler(NamedTuple):
@@ -188,9 +195,8 @@ def _sampler_kernel(
         # on K. The shift register holds the last kw-1 feature vectors.
         prev = causal_buf_ref[...]             # [B, (kw-1)*C_in]
         window = jnp.concatenate([prev, x], axis=-1)  # [B, kw*C_in]
-        current = jnp.dot(window.astype(causal_w_ref.dtype),
-                          causal_w_ref[...],
-                          preferred_element_type=jnp.float32)  # [B, R]
+        current = mxu_dot(window.astype(causal_w_ref.dtype),
+                          causal_w_ref[...])  # [B, R]
         causal_buf_ref[...] = window[:, C_in:]
 
         skip_sum = jnp.zeros((B, S), jnp.float32)
@@ -199,22 +205,18 @@ def _sampler_kernel(
             past = ring_ref[pos].astype(jnp.float32)  # [B, R]
             ring_ref[pos] = current.astype(ring_ref.dtype)
             x_cat = jnp.concatenate([past, current], axis=-1)  # [B, 2R]
-            fg = jnp.dot(x_cat.astype(layer_w_ref.dtype), layer_w_ref[i],
-                         preferred_element_type=jnp.float32)
+            fg = mxu_dot(x_cat.astype(layer_w_ref.dtype), layer_w_ref[i])
             fg = fg + layer_add_ref[0, i]
             out = jnp.tanh(fg[:, :D]) * jax.nn.sigmoid(fg[:, D:])
-            ds = jnp.dot(out.astype(proj_w_ref.dtype), proj_w_ref[i],
-                         preferred_element_type=jnp.float32)
+            ds = mxu_dot(out.astype(proj_w_ref.dtype), proj_w_ref[i])
             ds = ds + proj_add_ref[i]
             current = current + ds[:, :R]
             skip_sum = skip_sum + ds[:, R:]
 
         h = jnp.maximum(skip_sum, 0.0)
-        h = jnp.dot(h.astype(post1_w_ref.dtype), post1_w_ref[...],
-                    preferred_element_type=jnp.float32) + post1_b_ref[...]
+        h = mxu_dot(h.astype(post1_w_ref.dtype), post1_w_ref[...]) + post1_b_ref[...]
         h = jnp.maximum(h, 0.0)
-        h = jnp.dot(h.astype(post2_w_ref.dtype), post2_w_ref[...],
-                    preferred_element_type=jnp.float32) + post2_b_ref[...]
+        h = mxu_dot(h.astype(post2_w_ref.dtype), post2_w_ref[...]) + post2_b_ref[...]
         return h  # [B, Q]
 
     def sample_from(logits):
@@ -330,6 +332,8 @@ def _run_sampler_kernel(packed: PackedSampler, forced: jnp.ndarray,
             jax.ShapeDtypeStruct((nb, n_total, bc), jnp.int32),
             jax.ShapeDtypeStruct((nb, n_log, bc, Q), jnp.float32),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
     )(seed, packed.causal_w, packed.layer_w, add_c,
       packed.proj_w, packed.proj_add, packed.post1_w, packed.post1_b,
       packed.post2_w, packed.post2_b, forced_c)
@@ -634,9 +638,8 @@ def _sampler_kernel_hbm(
         x = featurize(x_col)
         prev = causal_buf_ref[...]
         window = jnp.concatenate([prev, x], axis=-1)
-        current = jnp.dot(window.astype(causal_w_ref.dtype),
-                          causal_w_ref[...],
-                          preferred_element_type=jnp.float32)
+        current = mxu_dot(window.astype(causal_w_ref.dtype),
+                          causal_w_ref[...])
         causal_buf_ref[...] = window[:, C_in:]
 
         # Balance write semaphores, then prefetch ALL row reads.
@@ -653,22 +656,18 @@ def _sampler_kernel_hbm(
             wbuf_ref[i, :, 0:R] = current
             write_dma(i, row_pos(i, t)).start()
             x_cat = jnp.concatenate([past, current], axis=-1)
-            fg = jnp.dot(x_cat.astype(layer_w_ref.dtype), layer_w_ref[i],
-                         preferred_element_type=jnp.float32)
+            fg = mxu_dot(x_cat.astype(layer_w_ref.dtype), layer_w_ref[i])
             fg = fg + layer_add_ref[0, i]
             out = jnp.tanh(fg[:, :D]) * jax.nn.sigmoid(fg[:, D:])
-            ds = jnp.dot(out.astype(proj_w_ref.dtype), proj_w_ref[i],
-                         preferred_element_type=jnp.float32)
+            ds = mxu_dot(out.astype(proj_w_ref.dtype), proj_w_ref[i])
             ds = ds + proj_add_ref[i]
             current = current + ds[:, :R]
             skip_sum = skip_sum + ds[:, R:]
 
         h = jnp.maximum(skip_sum, 0.0)
-        h = jnp.dot(h.astype(post1_w_ref.dtype), post1_w_ref[...],
-                    preferred_element_type=jnp.float32) + post1_b_ref[...]
+        h = mxu_dot(h.astype(post1_w_ref.dtype), post1_w_ref[...]) + post1_b_ref[...]
         h = jnp.maximum(h, 0.0)
-        h = jnp.dot(h.astype(post2_w_ref.dtype), post2_w_ref[...],
-                    preferred_element_type=jnp.float32) + post2_b_ref[...]
+        h = mxu_dot(h.astype(post2_w_ref.dtype), post2_w_ref[...]) + post2_b_ref[...]
         return h
 
     def sample_from(logits):
@@ -762,7 +761,8 @@ def _run_sampler_kernel_hbm(packed: PackedSampler, forced: jnp.ndarray,
             jax.ShapeDtypeStruct((1, n_log, B, Q), jnp.float32),
             jax.ShapeDtypeStruct((sum_d, B, 128), jnp.float32),
         ),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT),
     )(seed, packed.causal_w, packed.layer_w,
       packed.layer_add[None],   # kernel uses the chunk-major [1,L,B,2D] view
       packed.proj_w, packed.proj_add, packed.post1_w, packed.post1_b,
@@ -904,9 +904,8 @@ def _sampler_kernel_hbm_stream(
         x = featurize(x_col)
         prev = causal_buf_ref[...]
         window = jnp.concatenate([prev, x], axis=-1)
-        current = jnp.dot(window.astype(causal_w_ref.dtype),
-                          causal_w_ref[...],
-                          preferred_element_type=jnp.float32)
+        current = mxu_dot(window.astype(causal_w_ref.dtype),
+                          causal_w_ref[...])
         causal_buf_ref[...] = window[:, C_in:]
 
         for l in range(L):
@@ -922,22 +921,18 @@ def _sampler_kernel_hbm_stream(
             wbuf_ref[i, :, 0:R] = current
             write_dma(i, row_pos(i, t)).start()
             x_cat = jnp.concatenate([past, current], axis=-1)
-            fg = jnp.dot(x_cat.astype(layer_w_ref.dtype), layer_w_ref[i],
-                         preferred_element_type=jnp.float32)
+            fg = mxu_dot(x_cat.astype(layer_w_ref.dtype), layer_w_ref[i])
             fg = fg + layer_add_ref[0, i]
             out = jnp.tanh(fg[:, :D]) * jax.nn.sigmoid(fg[:, D:])
-            ds = jnp.dot(out.astype(proj_w_ref.dtype), proj_w_ref[i],
-                         preferred_element_type=jnp.float32)
+            ds = mxu_dot(out.astype(proj_w_ref.dtype), proj_w_ref[i])
             ds = ds + proj_add_ref[i]
             current = current + ds[:, :R]
             skip_sum = skip_sum + ds[:, R:]
 
         h = jnp.maximum(skip_sum, 0.0)
-        h = jnp.dot(h.astype(post1_w_ref.dtype), post1_w_ref[...],
-                    preferred_element_type=jnp.float32) + post1_b_ref[...]
+        h = mxu_dot(h.astype(post1_w_ref.dtype), post1_w_ref[...]) + post1_b_ref[...]
         h = jnp.maximum(h, 0.0)
-        h = jnp.dot(h.astype(post2_w_ref.dtype), post2_w_ref[...],
-                    preferred_element_type=jnp.float32) + post2_b_ref[...]
+        h = mxu_dot(h.astype(post2_w_ref.dtype), post2_w_ref[...]) + post2_b_ref[...]
         return h
 
     def sample_from(logits):
@@ -1096,7 +1091,8 @@ def _run_sampler_kernel_hbm_stream(packed: PackedSampler,
                                  jnp.float32),
         ),
         input_output_aliases={11: 2},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT),
     )(seed, packed.causal_w, packed.layer_w,
       packed.layer_add[None],
       packed.proj_w, packed.proj_add, packed.post1_w, packed.post1_b,
