@@ -51,7 +51,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from wavenet_tpu.kernels.mxu import mxu_dot
+from wavenet_tpu.kernels.mxu import mxu_dot, mxu_dot_tA, mxu_dot_tB
 
 
 def _round_up(x: int, m: int) -> int:
@@ -97,7 +97,7 @@ def _bwd_kernel(cur_ref, past_ref, w_ref, wd_ref, add_ref,
 
     dy = dy_ref[0].astype(jnp.float32)    # [Tt, R]
     dz = (dz_extra_ref[0].astype(jnp.float32)
-          + mxu_dot(dy_ref[0].astype(wd_ref.dtype), wd_ref[...].T))  # [Tt, D]
+          + mxu_dot_tB(dy_ref[0].astype(wd_ref.dtype), wd_ref[...]))  # [Tt, D]
 
     da_f = dz * s_ * (1.0 - t_ * t_)
     da_g = dz * t_ * s_ * (1.0 - s_)
@@ -109,14 +109,14 @@ def _bwd_kernel(cur_ref, past_ref, w_ref, wd_ref, add_ref,
 
     # dx at t: residual + current-tap backprop. Tap-0 term (lands at t-d)
     # goes out separately; the host shift-adds it.
-    dx_ref[0] = dy + mxu_dot(da_c, w_ref[1].T)
-    dpast_ref[0] = mxu_dot(da_c, w_ref[0].T)
+    dx_ref[0] = dy + mxu_dot_tB(da_c, w_ref[1])
+    dpast_ref[0] = mxu_dot_tB(da_c, w_ref[0])
 
     # Gradient accumulation across the (sequential) grid.
     first = jnp.logical_and(b == 0, jt == 0)
-    dw0 = mxu_dot(past.T, da_c)
-    dw1 = mxu_dot(cur.T, da_c)
-    dwd = mxu_dot(z_c.T, dy_c)
+    dw0 = mxu_dot_tA(past, da_c)
+    dw1 = mxu_dot_tA(cur, da_c)
+    dwd = mxu_dot_tA(z_c, dy_c)
     dbd_row = jnp.sum(dy, axis=0, keepdims=True)        # [1, R]
     dadd_row = jnp.sum(da, axis=0, keepdims=True)       # [1, 2D]
 

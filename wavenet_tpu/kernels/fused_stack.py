@@ -49,7 +49,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from wavenet_tpu.kernels.mxu import mxu_dot
+from wavenet_tpu.kernels.mxu import mxu_dot, mxu_dot_tA, mxu_dot_tB
 from wavenet_tpu.models.config import WaveNetConfig
 
 _T_TILE = 512  # max dilation <= t_tile is required; fg/dz block
@@ -211,12 +211,12 @@ def _bwd_kernel(y_ref, fg_ref, dz_ref, dy_ref,
         zz_ref[...] = t_ * s_
 
         # Grads that read dcur_{l+1} (the CURRENT content of dcur_ref).
-        dwd_c = mxu_dot(zz_ref[...].astype(cdt).T,
-                        dcur_ref[...].astype(cdt))     # [D, R]
+        dwd_c = mxu_dot_tA(zz_ref[...].astype(cdt),
+                           dcur_ref[...].astype(cdt))     # [D, R]
         dbd_row = jnp.sum(dcur_ref[...], axis=0, keepdims=True)  # [1, R]
 
         dz = dz_ref[0, :, D * l:D * (l + 1)].astype(jnp.float32)
-        dz = dz + mxu_dot(dcur_ref[...].astype(cdt), wd_ref[l].T)
+        dz = dz + mxu_dot_tB(dcur_ref[...].astype(cdt), wd_ref[l])
 
         da_ref[:, 0:D] = dz * s_ * (1.0 - t_ * t_)
         da_ref[:, D:2 * D] = dz * t_ * s_ * (1.0 - s_)
@@ -228,19 +228,19 @@ def _bwd_kernel(y_ref, fg_ref, dz_ref, dy_ref,
                         - bd_ref[l])
 
         # Weight grads over THIS tile's rows.
-        dw1 = mxu_dot(cur_ref[...].astype(cdt).T, da_ref[...].astype(cdt))
+        dw1 = mxu_dot_tA(cur_ref[...].astype(cdt), da_ref[...].astype(cdt))
         # Cross-tile: our tail rows pair with the NEXT tile's da head
         # (left in vcarry by the previous grid step).
-        dw0 = mxu_dot(cur_ref[Tt - d:Tt, :].astype(cdt).T,
-                      vcarry_ref[o:o + d, :].astype(cdt))
+        dw0 = mxu_dot_tA(cur_ref[Tt - d:Tt, :].astype(cdt),
+                         vcarry_ref[o:o + d, :].astype(cdt))
         if d < Tt:
-            dw0 = dw0 + mxu_dot(cur_ref[0:Tt - d, :].astype(cdt).T,
-                                da_ref[d:Tt, :].astype(cdt))
+            dw0 = dw0 + mxu_dot_tA(cur_ref[0:Tt - d, :].astype(cdt),
+                                   da_ref[d:Tt, :].astype(cdt))
 
         # dcur_l = dcur_{l+1} (residual) + both tap backprops.
-        tmp_ref[...] = mxu_dot(da_ref[...].astype(cdt), w_fg_ref[l, R:, :].T)
+        tmp_ref[...] = mxu_dot_tB(da_ref[...].astype(cdt), w_fg_ref[l, R:, :])
         dcur_ref[...] += tmp_ref[...]
-        tmp_ref[...] = mxu_dot(da_ref[...].astype(cdt), w_fg_ref[l, :R, :].T)
+        tmp_ref[...] = mxu_dot_tB(da_ref[...].astype(cdt), w_fg_ref[l, :R, :])
         if d < Tt:
             dcur_ref[0:Tt - d, :] += tmp_ref[d:Tt, :]
         # Consume the later tile's tap-grad carry into our tail, then

@@ -59,7 +59,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from wavenet_tpu.kernels.mxu import mxu_dot
+from wavenet_tpu.kernels.mxu import mxu_dot, mxu_dot_tA, mxu_dot_tB
 from wavenet_tpu.models.config import WaveNetConfig
 from wavenet_tpu.kernels.fused_stack import pack_stack_weights, tap_offsets
 
@@ -254,12 +254,12 @@ def _bwd_kernel(y_ref, dy_ref, dz_ref, w_fg_ref, wd_ref, bd_ref,
         zz_ref[...] = t_ * s_
 
         # Grads that read dcur_{l+1} (current content of dcur_ref).
-        dwd_c = mxu_dot(zz_ref[...].astype(cdt).T,
-                        dcur_ref[...].astype(cdt))      # [D, R]
+        dwd_c = mxu_dot_tA(zz_ref[...].astype(cdt),
+                           dcur_ref[...].astype(cdt))      # [D, R]
         dbd_row = jnp.sum(dcur_ref[...], axis=0, keepdims=True)  # [1, R]
 
         dz = dz_ref[0, :, D * l:D * (l + 1)].astype(jnp.float32)
-        dz = dz + mxu_dot(dcur_ref[...].astype(cdt), wd_ref[l].T)
+        dz = dz + mxu_dot_tB(dcur_ref[...].astype(cdt), wd_ref[l])
 
         da_ref[:, 0:D] = dz * s_ * (1.0 - t_ * t_)
         da_ref[:, D:2 * D] = dz * t_ * s_ * (1.0 - s_)
@@ -275,14 +275,15 @@ def _bwd_kernel(y_ref, dy_ref, dz_ref, w_fg_ref, wd_ref, bd_ref,
         cat_ref[0:d, 0:R] = jnp.zeros((d, R), cat_ref.dtype)
         if d < Tt:
             cat_ref[d:Tt, 0:R] = cur_ref[0:Tt - d, :].astype(cdt)
-        dw_cat = mxu_dot(cat_ref[...].T, da_ref[...].astype(cdt))     # [2R, 2D]
+        dw_cat = mxu_dot_tA(cat_ref[...], da_ref[...].astype(cdt))  # [2R, 2D]
         # Cross-tile past-tap rows: our tail inputs pair with the LATER
         # tile's da head (left in vcarry by the previous grid step).
-        dw0_x = mxu_dot(cur_ref[Tt - d:Tt, :].astype(cdt).T,
-                        vcarry_ref[o:o + d, :].astype(cdt))      # [R, 2D]
+        dw0_x = mxu_dot_tA(cur_ref[Tt - d:Tt, :].astype(cdt),
+                           vcarry_ref[o:o + d, :].astype(cdt))      # [R, 2D]
 
         # dcur_l = residual passthrough + both tap backprops.
-        tmp_ref[...] = mxu_dot(da_ref[...].astype(cdt), w_fg_ref[l].T)  # [Tt,2R]
+        tmp_ref[...] = mxu_dot_tB(da_ref[...].astype(cdt),
+                                  w_fg_ref[l])          # [Tt, 2R]
         dcur_ref[...] += tmp_ref[:, R:]
         if d < Tt:
             dcur_ref[0:Tt - d, :] += tmp_ref[d:Tt, 0:R]

@@ -33,4 +33,32 @@ def mxu_dot(a, b):
                    preferred_element_type=jnp.float32)
 
 
-__all__ = ["mxu_dot"]
+def _prec(a, b):
+    return (lax.Precision.HIGHEST
+            if (a.dtype == jnp.float32 or b.dtype == jnp.float32)
+            else lax.Precision.DEFAULT)
+
+
+def mxu_dot_tA(a, b):
+    """``a.T @ b`` without materializing the transpose.
+
+    Contracts dim 0 of both operands ([K, M] x [K, N] -> [M, N]) through
+    dot_general dimension numbers — a ``.T`` in front of a Mosaic dot
+    lowers to a real VMEM transpose (lane/sublane shuffles over the
+    whole buffer), which for the [Tt, C] weight-gradient matmuls costs
+    more than the matmul itself.
+    """
+    return lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                           precision=_prec(a, b),
+                           preferred_element_type=jnp.float32)
+
+
+def mxu_dot_tB(a, b):
+    """``a @ b.T`` without materializing the transpose
+    ([M, K] x [N, K] -> [M, N])."""
+    return lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                           precision=_prec(a, b),
+                           preferred_element_type=jnp.float32)
+
+
+__all__ = ["mxu_dot", "mxu_dot_tA", "mxu_dot_tB"]

@@ -47,10 +47,17 @@ def is_compile_failure(e: BaseException) -> bool:
 
 
 def sampler_attempts(config, batch_size: int, n_total: int,
-                     sampler: str = "auto"):
+                     sampler: str = "auto", precision: str = "float32"):
     """Ordered (name, generate_pallas kwargs) candidates; scan is the
     implicit final fallback. ``n_total`` = forced prefix + samples (the
-    unseeded recipe primes receptive_field codes)."""
+    unseeded recipe primes receptive_field codes).
+
+    ``precision``: "float32" keeps exact-f32 weights in the kernels (the
+    parity-faithful default; multi-pass MXU matmuls since the round-2
+    mxu_dot fix). "bfloat16" casts weights and ring state to bf16 — one
+    MXU pass per matmul, ~5e-3 logit drift, ~1.4x faster at large batch
+    (throughput mode).
+    """
     from wavenet_tpu.kernels.sampler import (
         hbm_sampler_vmem_bytes, sampler_vmem_bytes,
         stream_hbm_sampler_vmem_bytes)
@@ -60,25 +67,30 @@ def sampler_attempts(config, batch_size: int, n_total: int,
                 and jax.devices()[0].platform != "cpu")
     if not eligible:
         return []
+    bf16w = (dict(weight_dtype=jnp.bfloat16, state_dtype=jnp.bfloat16)
+             if precision == "bfloat16" else {})
+    wtag = " bf16w" if bf16w else ""
     attempts = []
     if sampler_vmem_bytes(config, batch_size, n_total) < GENEROUS_VMEM:
-        attempts.append(("Pallas (f32 state)", dict()))
+        attempts.append((f"Pallas (f32 state{wtag})", dict(bf16w)))
     if sampler_vmem_bytes(config, batch_size, n_total,
                           state_bytes=2) < GENEROUS_VMEM:
-        attempts.append(("Pallas (bf16 ring state)",
-                         dict(state_dtype=jnp.bfloat16)))
+        attempts.append((f"Pallas (bf16 ring state{wtag})",
+                         dict(bf16w, state_dtype=jnp.bfloat16)))
     if hbm_sampler_vmem_bytes(config, batch_size, n_total) < GENEROUS_VMEM:
-        attempts.append(("Pallas (HBM ring)", dict(ring_in_hbm=True)))
+        attempts.append((f"Pallas (HBM ring{wtag})",
+                         dict(bf16w, ring_in_hbm=True)))
     if stream_hbm_sampler_vmem_bytes(config, batch_size) < GENEROUS_VMEM:
         # Run-length-independent VMEM: the big-batch / long-run workhorse.
-        attempts.append(("Pallas (HBM ring, streamed IO)",
-                         dict(ring_in_hbm=True, stream_io=True)))
+        attempts.append((f"Pallas (HBM ring, streamed IO{wtag})",
+                         dict(bf16w, ring_in_hbm=True, stream_io=True)))
     for bc in (16, 8, 4, 2, 1):
         if (batch_size % bc == 0 and bc < batch_size
                 and sampler_vmem_bytes(config, bc, n_total,
                                        state_bytes=2) < GENEROUS_VMEM):
-            attempts.append((f"Pallas (bf16 ring, chunks of {bc})",
-                             dict(state_dtype=jnp.bfloat16, batch_chunk=bc)))
+            attempts.append((f"Pallas (bf16 ring, chunks of {bc}{wtag})",
+                             dict(bf16w, state_dtype=jnp.bfloat16,
+                                  batch_chunk=bc)))
     return attempts
 
 
@@ -89,6 +101,7 @@ def generate_with_fallback(params, config, n_samples: int, *,
                            temperature: float = 1.0,
                            seed_codes=None,
                            sampler: str = "auto",
+                           precision: str = "float32",
                            log=print):
     """Generate with the fastest sampler that actually compiles.
 
@@ -102,7 +115,8 @@ def generate_with_fallback(params, config, n_samples: int, *,
     n_forced = (int(seed_codes.shape[1]) if seed_codes is not None
                 else config.receptive_field)
     for name, kw in sampler_attempts(config, batch_size,
-                                     n_samples + n_forced, sampler):
+                                     n_samples + n_forced, sampler,
+                                     precision):
         try:
             codes = generate_pallas(
                 params, config, n_samples, seed=seed,
