@@ -28,6 +28,7 @@ from wavenet_tpu.models.wavenet import init_params
 from wavenet_tpu.kernels.fused_stack import (
     fused_stack, pack_stack_weights)
 from wavenet_tpu.kernels.fused_stack2 import fused_stack2, fused_stack2_forward
+from wavenet_tpu.kernels.fused_stack3 import fused_stack3, fused_stack3_forward
 
 QUICK = len(sys.argv) > 1 and sys.argv[1] == "quick"
 B, SAMPLE = 8, 16000
@@ -36,16 +37,20 @@ REPS = 5 if not QUICK else 2
 results = {}
 
 
-def timed(tag, fn, reps=REPS):
+def timed(tag, fn, reps=REPS, calls_per_rep=10):
+    """Median per-call time; ``calls_per_rep`` dispatches amortize the
+    tunnel relay's per-readback latency (~30 ms observed round 2 —
+    single-call timings of an 18 ms step read ~50 ms)."""
     try:
         out = fn()
         _ = np.asarray(jax.device_get(jax.tree.leaves(out)[0])).sum()
         times = []
         for _i in range(reps):
             t0 = time.perf_counter()
-            out = fn()
+            for _j in range(calls_per_rep):
+                out = fn()
             _ = np.asarray(jax.device_get(jax.tree.leaves(out)[0])).sum()
-            times.append(time.perf_counter() - t0)
+            times.append((time.perf_counter() - t0) / calls_per_rep)
         dt = float(np.median(times))
         results[tag] = dt
         print(f"[{tag}] median {dt*1e3:.2f} ms  "
@@ -177,31 +182,73 @@ def main():
     gx = scalarized(jax.grad(xla_stack_loss, argnums=0))
     timed("xla_stack+head_fwdbwd", lambda: gx(x_big, params))
 
-    tile_list = [(2048, 1024)] if QUICK else [
-        (2048, 1024), (4096, 1024), (4096, 2048), (8192, 2048),
-        (8192, 4096)]
-    for tf, tb in tile_list:
-        def stack_loss(x, w, tf=tf, tb=tb):
-            y, z = fused_stack2(x, w, wdB, addB, bdB, cfg, jnp.bfloat16,
-                                tf, tb)
+    # ---- v3 (batch-folded) hardware parity, then tile sweep ---------
+    # Parity first on a small shape: cheapest failure point.
+    try:
+        w_fg1, wd1, add1, bd1 = pack_stack_weights(p32, cfg32, None, 1)
+        y3, fg3, z3 = jax.jit(
+            lambda x: fused_stack3_forward(x, w_fg1, wd1, add1, bd1,
+                                           cfg32, jnp.float32, jnp.float32,
+                                           1024, True)
+        )(x_small)
+        y1, z1 = jax.jit(
+            lambda x: fused_stack(x, w_fg1, wd1, add1, bd1, cfg32,
+                                  jnp.float32)
+        )(x_small)
+        err_y = float(jnp.max(jnp.abs(y3 - y1)))
+        err_z = float(np.max(np.abs(
+            np.asarray(z3).reshape(1, 4000, -1) - np.asarray(z1))))
+        print(f"[parity fwd v3-vs-v1 on TPU] max|dy|={err_y:.2e} "
+              f"max|dz|={err_z:.2e}", flush=True)
+        results["parity_fwd_v3_err"] = max(err_y, err_z)
+
+        def loss3(x, w):
+            y, z = fused_stack3(x, w, wd1, add1, bd1, cfg32, jnp.float32,
+                                1024, 1024, True, False)
+            return jnp.sum(y * cy) + jnp.sum(z * cz)
+
+        def loss1f(x, w):
+            y, z = fused_stack(x, w, wd1, add1, bd1, cfg32, jnp.float32)
+            return jnp.sum(y * cy) + jnp.sum(z * cz)
+
+        g3 = jax.jit(jax.grad(loss3, argnums=(0, 1)))(x_small, w_fg1)
+        g1 = jax.jit(jax.grad(loss1f, argnums=(0, 1)))(x_small, w_fg1)
+        errs = [float(jnp.max(jnp.abs(a - b))) for a, b in zip(g3, g1)]
+        scale = [float(jnp.max(jnp.abs(b))) for b in g1]
+        print(f"[parity grad v3-vs-v1 on TPU] max|d|={errs} "
+              f"(scales {scale})", flush=True)
+        results["parity_grad_v3_err"] = max(
+            e / max(s, 1e-6) for e, s in zip(errs, scale))
+    except Exception:
+        print("[parity v3] FAILED:", flush=True)
+        traceback.print_exc()
+        return
+
+    tile_list3 = [(2048, 1024)] if QUICK else [
+        (1024, 512), (2048, 1024), (2048, 2048), (4096, 1024),
+        (4096, 2048)]
+    for tf, tb in tile_list3:
+        def stack3_loss(x, w, tf=tf, tb=tb):
+            y, z = fused_stack3(x, w, wdB, addB, bdB, cfg, jnp.bfloat16,
+                                tf, tb, True, False)
             return jnp.sum(y * cyB) + jnp.sum(z.astype(jnp.float32) * 1e-3)
 
-        g = scalarized(jax.grad(stack_loss, argnums=(0, 1)))
-        dt = timed(f"v2_stack_fwdbwd_tf{tf}_tb{tb}",
+        g = scalarized(jax.grad(stack3_loss, argnums=(0, 1)))
+        dt = timed(f"v3_stack_fwdbwd_tf{tf}_tb{tb}",
                    lambda g=g: g(x_big, w_fgB))
-        audio_sps(f"v2_stack tf{tf} tb{tb}", dt)
+        audio_sps(f"v3_stack tf{tf} tb{tb}", dt)
 
-    # forward-only at the default tile
-    fwd = jax.jit(lambda x: jnp.sum(fused_stack2_forward(
+    # forward-only
+    fwd3 = jax.jit(lambda x: jnp.sum(fused_stack3_forward(
         x, w_fgB, wdB, addB, bdB, cfg, jnp.bfloat16, jnp.bfloat16,
-        2048)[0]))
-    timed("v2_stack_fwdonly_tf2048", lambda: fwd(x_big))
+        2048, True)[0]))
+    timed("v3_stack_fwdonly_tf2048", lambda: fwd3(x_big))
 
-    # ---- full train step with the v2 stack --------------------------
-    train_variant("pallas_v2_train", use_pallas_stack=True)
+    # ---- full train step with the v3 / v2 stacks --------------------
+    train_variant("pallas_v3_train", use_pallas_stack=True,
+                  pallas_stack_version=3)
     if not QUICK:
-        train_variant("pallas_v1_train", use_pallas_stack=True,
-                      pallas_stack_version=1)
+        train_variant("pallas_v2_train", use_pallas_stack=True)
 
     print("\nRESULTS:", {k: (round(v, 4) if isinstance(v, float) else v)
                          for k, v in results.items()}, flush=True)

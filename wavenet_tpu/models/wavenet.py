@@ -344,7 +344,22 @@ def _dilated_stack_pallas(params: Params, c: WaveNetConfig,
     kernel_dtype = (jnp.bfloat16 if c.compute_dtype == "bfloat16"
                     else jnp.float32)
 
-    if c.pallas_stack_version == 2:
+    if c.pallas_stack_version == 3:
+        from wavenet_tpu.kernels.fused_stack3 import (
+            fused_stack3, pack_stack_weights, supports)
+        if not supports(c):
+            raise NotImplementedError(
+                "use_pallas_stack requires filter_width=2 and max "
+                "dilation <= the kernel tile size")
+        from wavenet_tpu.kernels.fused_stack3 import (
+            _T_TILE_BWD, _T_TILE_FWD)
+        w_fg, wd, add, bd = pack_stack_weights(params, c, gc_embedding, B)
+        # custom_vjp functions take positional args only.
+        _, all_outs = fused_stack3(
+            current.astype(jnp.float32), w_fg, wd, add, bd, c,
+            kernel_dtype, _T_TILE_FWD, _T_TILE_BWD,
+            gc_embedding is None, False)
+    elif c.pallas_stack_version == 2:
         from wavenet_tpu.kernels.fused_stack2 import (
             fused_stack2, pack_stack_weights, supports)
         if not supports(c):
