@@ -79,9 +79,11 @@ def test_time_padding_path(rng):
                                rtol=1e-4, atol=1e-5)
 
 
-def test_model_pallas_stack_matches_jnp(rng):
+@pytest.mark.parametrize("version", [2, 3])
+def test_model_pallas_stack_matches_jnp(rng, version):
     # Full-model integration: loss and gradients with use_pallas_stack
-    # must match the jnp stack.
+    # must match the jnp stack (v3 additionally exercises the padded-z
+    # record layout + zero-row-padded skip weights in the head).
     from wavenet_tpu.models.config import WaveNetConfig
     from wavenet_tpu.models.wavenet import init_params, loss_fn
 
@@ -90,7 +92,8 @@ def test_model_pallas_stack_matches_jnp(rng):
                 quantization_channels=32, use_biases=True,
                 gc_channels=4, gc_cardinality=4)
     cfg_j = WaveNetConfig(**base)
-    cfg_p = WaveNetConfig(**base, use_pallas_stack=True)
+    cfg_p = WaveNetConfig(**base, use_pallas_stack=True,
+                          pallas_stack_version=version)
     params = init_params(jax.random.PRNGKey(0), cfg_j)
     T = cfg_j.receptive_field + 20
     audio = jnp.asarray(

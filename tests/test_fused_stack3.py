@@ -36,14 +36,19 @@ def test_forward_exact_everywhere(gc, rng):
     y_ref, z_ref = jnp_stack(x, params, cfg, gc_emb)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                rtol=1e-4, atol=1e-5)
-    D = cfg.dilation_channels
-    z_flat = np.asarray(z).reshape(B, T, -1)
-    np.testing.assert_allclose(z_flat, np.asarray(z_ref),
+    L, D = cfg.num_layers, cfg.dilation_channels
+    # z comes out as packed 128-lane records; the first L*D flattened
+    # lanes are the standard layout, the tail is zero padding.
+    z_flat_pad = np.asarray(z)[:, :T].reshape(B, T, -1)
+    np.testing.assert_allclose(z_flat_pad[..., :L * D], np.asarray(z_ref),
                                rtol=1e-4, atol=1e-5)
+    assert np.all(z_flat_pad[..., L * D:] == 0.0)
     # z must be recomputable from the stored fg records (bwd relies on it)
-    f = np.asarray(fg)
+    f = np.asarray(fg)[:, :T].reshape(B, T, -1)[..., :L * 2 * D]
+    f = f.reshape(B, T, L, 2 * D)
     z_from_fg = np.tanh(f[..., :D]) * (1 / (1 + np.exp(-f[..., D:])))
-    np.testing.assert_allclose(z_from_fg.reshape(B, T, -1), z_flat,
+    np.testing.assert_allclose(z_from_fg.reshape(B, T, -1),
+                               z_flat_pad[..., :L * D],
                                rtol=1e-4, atol=1e-5)
 
 
@@ -67,7 +72,8 @@ def test_backward_matches_jnp(gc, rng):
     def loss_pallas(x, w_fg, wd, add, bd):
         y, z = fused_stack3(x, w_fg, wd, add, bd, cfg, jnp.float32,
                             64, 64, not gc, True)
-        return jnp.sum(y * cy) + jnp.sum(z * cz)
+        L, D = cfg.num_layers, cfg.dilation_channels
+        return jnp.sum(y * cy) + jnp.sum(z[..., :L * D] * cz)
 
     def loss_ref(x, w_fg, wd, add, bd):
         L, R, D = (cfg.num_layers, cfg.residual_channels,
@@ -111,10 +117,12 @@ def test_dilation_equal_to_tile(rng):
     cz = jnp.asarray(rng.randn(B, T, 4 * cfg.dilation_channels)
                      .astype(np.float32))
 
+    LD = 4 * cfg.dilation_channels
+
     def loss(fn_x, fn_w):
         y, z = fused_stack3(fn_x, fn_w, wd, add, bd, cfg, jnp.float32,
                             64, 64, True, True)
-        return jnp.sum(y * cy) + jnp.sum(z * cz)
+        return jnp.sum(y * cy) + jnp.sum(z[..., :LD] * cz)
 
     y, z = fused_stack3(x, w_fg, wd, add, bd, cfg, jnp.float32,
                         64, 64, True, True)
@@ -122,7 +130,7 @@ def test_dilation_equal_to_tile(rng):
     y_ref, z_ref = jnp_stack(x, params, cfg, None)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref),
+    np.testing.assert_allclose(np.asarray(z)[..., :LD], np.asarray(z_ref),
                                rtol=1e-4, atol=1e-5)
 
     def loss_ref(xx, ww):

@@ -195,9 +195,11 @@ def main():
             lambda x: fused_stack(x, w_fg1, wd1, add1, bd1, cfg32,
                                   jnp.float32)
         )(x_small)
+        LD = cfg32.num_layers * cfg32.dilation_channels
         err_y = float(jnp.max(jnp.abs(y3 - y1)))
         err_z = float(np.max(np.abs(
-            np.asarray(z3).reshape(1, 4000, -1) - np.asarray(z1))))
+            np.asarray(z3)[:, :4000].reshape(1, 4000, -1)[..., :LD]
+            - np.asarray(z1))))
         print(f"[parity fwd v3-vs-v1 on TPU] max|dy|={err_y:.2e} "
               f"max|dz|={err_z:.2e}", flush=True)
         results["parity_fwd_v3_err"] = max(err_y, err_z)
@@ -205,7 +207,7 @@ def main():
         def loss3(x, w):
             y, z = fused_stack3(x, w, wd1, add1, bd1, cfg32, jnp.float32,
                                 1024, 1024, True, False)
-            return jnp.sum(y * cy) + jnp.sum(z * cz)
+            return jnp.sum(y * cy) + jnp.sum(z[..., :LD] * cz)
 
         def loss1f(x, w):
             y, z = fused_stack(x, w, wd1, add1, bd1, cfg32, jnp.float32)

@@ -162,6 +162,15 @@ def main(argv=None):
     waveform = np.asarray(
         jax.device_get(mu_law_decode(codes, config.quantization_channels)))
 
+    if seed_codes is None and np.max(np.abs(waveform)) < 0.02:
+        # Classic WaveNet cold-start attractor (present in the reference
+        # too): a converged model conditioned on pure silence keeps
+        # predicting silence. Warn instead of silently writing a flat wav.
+        print("WARNING: generated audio is near-silent. Converged models "
+              "often get stuck on the silence attractor when unseeded — "
+              "pass --wav_seed <some.wav> to prime generation with real "
+              "audio, or raise --temperature.")
+
     if args.wav_out_path:
         sr = wavenet_params["sample_rate"]
         if args.batch_size == 1:

@@ -380,7 +380,14 @@ def _dilated_stack_pallas(params: Params, c: WaveNetConfig,
         _, all_outs = fused_stack(current.astype(jnp.float32), w_fg, wd,
                                   add, bd, c, kernel_dtype)
 
-    w_skip_all = _maybe_cast(params["skip"].reshape(L * D, S), c)
+    # v3 emits z padded to 128-lane records ([..., :L*D] real, tail
+    # zero); zero-pad the skip weight rows to match — the pad rows add
+    # nothing to the logits and route zero cotangent back to the pads.
+    w_skip_all = params["skip"].reshape(L * D, S)
+    K = all_outs.shape[-1]
+    if K != L * D:
+        w_skip_all = jnp.pad(w_skip_all, ((0, K - L * D), (0, 0)))
+    w_skip_all = _maybe_cast(w_skip_all, c)
     skip_sum = jnp.einsum("btc,co->bto", _maybe_cast(all_outs, c),
                           w_skip_all, precision=precision)
     if c.use_biases:
