@@ -202,6 +202,29 @@ def test_remat_same_loss_and_grads(rng):
                                    rtol=1e-5, atol=1e-7, err_msg=k)
 
 
+@pytest.mark.parametrize("gc", [False, True])
+def test_merged_filter_gate_same_loss_and_grads(rng, gc):
+    # merged_filter_gate batches the filter+gate convs into one conv with
+    # concatenated output columns — the dot products are identical, so
+    # loss and grads must match the unmerged path to float tolerance.
+    kw = dict(gc_channels=4, gc_cardinality=3) if gc else {}
+    cfg = small_config(**kw)
+    cfg_m = small_config(merged_filter_gate=True, **kw)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    T = cfg.receptive_field + 16
+    audio = jnp.asarray(rng.uniform(-1, 1, (2, T)).astype(np.float32))
+    gc_ids = jnp.asarray([0, 2], jnp.int32) if gc else None
+
+    (l1, _), g1 = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, cfg, audio, gc_ids)
+    (l2, _), g2 = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, cfg_m, audio, gc_ids)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+
+
 def test_log_likelihood_scoring(rng):
     from wavenet_tpu.score import log_likelihood
     cfg = small_config()
