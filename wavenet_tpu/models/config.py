@@ -63,6 +63,10 @@ class WaveNetConfig:
     # (19.4 vs 19.8 ms/step, tools/r2_stack_experiments.py), so it is
     # the default; set False for the op-for-op reference layer graph.
     merged_filter_gate: bool = True
+    # (A sigmoid-via-tanh "one transcendental" gate variant was measured
+    # 14% SLOWER on the XLA path — v5-lite, tools/r2_step_experiments.py
+    # — XLA's elementwise is already lane-efficient; see
+    # docs/performance.md. It only pays inside Pallas kernels.)
 
     def __post_init__(self):
         object.__setattr__(self, "dilations", tuple(self.dilations))

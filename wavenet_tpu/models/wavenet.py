@@ -161,9 +161,38 @@ def _maybe_cast(x, config: WaveNetConfig):
     return x
 
 
+@jax.custom_vjp
+def _embed_rows(table, codes):
+    """Row-gather with a matmul backward.
+
+    ``jnp.take``'s native VJP is a scatter-add, which profiled at ~2.1
+    ms/step on v5-lite (fusion.3+fusion.4, tools/r2_profile.py) — 3x the
+    skip-head matmul. The gradient is mathematically
+    one_hot(codes)^T @ dout: an MXU contraction, ~20x faster. Forward
+    numerics are the plain gather, bit-identical.
+    """
+    return jnp.take(table, codes, axis=0)
+
+
+def _embed_rows_fwd(table, codes):
+    return jnp.take(table, codes, axis=0), (codes, table.shape[0])
+
+
+def _embed_rows_bwd(res, dout):
+    codes, q = res
+    oh = jax.nn.one_hot(codes, q, dtype=dout.dtype)
+    dtable = jnp.einsum("btq,btr->qr", oh, dout,
+                        precision=lax.Precision.HIGHEST)
+    return dtable, None
+
+
+_embed_rows.defvjp(_embed_rows_fwd, _embed_rows_bwd)
+
+
 def forward(params: Params, config: WaveNetConfig,
             network_input: jnp.ndarray,
-            gc_embedding: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+            gc_embedding: Optional[jnp.ndarray] = None,
+            head_from: int = 0) -> jnp.ndarray:
     """Full-length forward pass: [B, T, C_in] -> logits [B, T, Q].
 
     ``network_input`` is one-hot mu-law floats (or [B, T, 1] raw amplitude
@@ -186,17 +215,25 @@ def forward(params: Params, config: WaveNetConfig,
     # Initial causal layer (reference ``_create_causal_layer`` ≈:265).
     current = causal_conv_padded(x, causal_w, dilation=1, precision=precision)
     return _dilated_stack(params, c, current, gc_embedding, compute_dtype,
-                          precision)
+                          precision, head_from)
 
 
 def _dilated_stack(params: Params, c: WaveNetConfig, current: jnp.ndarray,
                    gc_embedding: Optional[jnp.ndarray], compute_dtype,
-                   precision) -> jnp.ndarray:
+                   precision, head_from: int = 0) -> jnp.ndarray:
     """Gated dilation layers + skip sum + postprocessing head.
 
     Layer math parity with reference ``_create_dilation_layer``
     ≈:280-360, with one bandwidth-driven re-association: the per-layer
-    skip projections are DEFERRED. The reference (and a naive port)
+    skip projections are DEFERRED. ``head_from`` drops output positions
+    before that index from the skip/postprocess head (the stack itself
+    always runs full-length for causality): the training loss discards
+    the first receptive_field-1 positions anyway, and ~85% of the
+    network's FLOPs are in the head, so slicing BEFORE the head instead
+    of after the logits removes that fraction of wasted head compute
+    with bit-identical results on the kept positions.
+
+    The reference (and a naive port)
     accumulates ``skip_sum [B,T,S]`` every layer — at S=512 that is a
     full read+write of the largest tensor in the network x L layers, and
     it dominates HBM traffic. Since
@@ -220,7 +257,7 @@ def _dilated_stack(params: Params, c: WaveNetConfig, current: jnp.ndarray,
             raise NotImplementedError(
                 "use_pallas_stack requires filter_width=2")
         return _dilated_stack_pallas(params, c, current, gc_embedding,
-                                     compute_dtype, precision)
+                                     compute_dtype, precision, head_from)
 
     def layer_fn(current, layer_params, dilation):
         # Gated unit: out = tanh(Wf*x [+gc+b]) . sigmoid(Wg*x [+gc+b])
@@ -275,6 +312,8 @@ def _dilated_stack(params: Params, c: WaveNetConfig, current: jnp.ndarray,
 
     # Deferred skip head: one big matmul over all layers' gate outputs.
     all_outs = jnp.concatenate(gate_outs, axis=-1)          # [B, T, L*D]
+    if head_from:
+        all_outs = all_outs[:, head_from:]
     w_skip_all = _maybe_cast(
         params["skip"].reshape(L * D, S), c)                # [L*D, S]
     skip_sum = jnp.einsum("btc,co->bto", all_outs, w_skip_all,
@@ -297,7 +336,8 @@ def _dilated_stack(params: Params, c: WaveNetConfig, current: jnp.ndarray,
 
 def forward_codes(params: Params, config: WaveNetConfig,
                   codes: jnp.ndarray,
-                  gc_embedding: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                  gc_embedding: Optional[jnp.ndarray] = None,
+                  head_from: int = 0) -> jnp.ndarray:
     """Forward pass from integer mu-law codes [B, T] (no one-hot tensor).
 
     The initial causal conv applied to one-hot input is algebraically a
@@ -317,20 +357,21 @@ def forward_codes(params: Params, config: WaveNetConfig,
     w = params["causal_filter"]  # [fw, Q, R]
     fw = w.shape[0]
     T = codes.shape[1]
-    current = jnp.take(w[fw - 1], codes, axis=0)  # [B, T, R]
+    current = _embed_rows(w[fw - 1], codes)  # [B, T, R]
     for k in range(fw - 1):
         shift = fw - 1 - k
-        tap = jnp.take(w[k], codes[:, :T - shift], axis=0)
+        tap = _embed_rows(w[k], codes[:, :T - shift])
         current = current.at[:, shift:, :].add(tap)
     current = current.astype(compute_dtype)
     return _dilated_stack(params, c, current, gc_embedding, compute_dtype,
-                          precision)
+                          precision, head_from)
 
 
 def _dilated_stack_pallas(params: Params, c: WaveNetConfig,
                           current: jnp.ndarray,
                           gc_embedding: Optional[jnp.ndarray],
-                          compute_dtype, precision) -> jnp.ndarray:
+                          compute_dtype, precision,
+                          head_from: int = 0) -> jnp.ndarray:
     """Dilated stack via the whole-stack fused kernel (+ deferred skip).
 
     One pallas_call runs all L layers with a recompute-free custom VJP;
@@ -383,6 +424,8 @@ def _dilated_stack_pallas(params: Params, c: WaveNetConfig,
     # v3 emits z padded to 128-lane records ([..., :L*D] real, tail
     # zero); zero-pad the skip weight rows to match — the pad rows add
     # nothing to the logits and route zero cotangent back to the pads.
+    if head_from:
+        all_outs = all_outs[:, head_from:]
     w_skip_all = params["skip"].reshape(L * D, S)
     K = all_outs.shape[-1]
     if K != L * D:
@@ -452,20 +495,29 @@ def loss_fn(params: Params, config: WaveNetConfig,
 
     encoded = mu_law_encode(audio_batch, c.quantization_channels)  # [B, T]
     gc_emb = embed_gc(params, c, gc_ids) if gc_ids is not None else None
+    # head_from = rf-1: only the positions the loss keeps go through the
+    # skip/postprocess head (identical numerics, ~16% fewer head FLOPs
+    # at the paper config's rf/sample_size ratio).
     if c.scalar_input:
         network_input = audio_batch[:, :-1, None].astype(jnp.float32)
-        raw_output = forward(params, c, network_input, gc_emb)
+        raw_output = forward(params, c, network_input, gc_emb,
+                             head_from=rf - 1)
     else:
         # Integer-code path: the one-hot x conv collapses to a weight-row
         # gather (forward_codes) — no [B, T, Q] input tensor.
-        raw_output = forward_codes(params, c, encoded[:, :-1], gc_emb)
+        raw_output = forward_codes(params, c, encoded[:, :-1], gc_emb,
+                                   head_from=rf - 1)
 
-    prediction = raw_output[:, rf - 1:, :]
+    prediction = raw_output
     target = encoded[:, rf:]
 
     # softmax_cross_entropy_with_logits, reduce_mean (reference ≈:720).
+    # The target pick is a one-hot contraction, not take_along_axis:
+    # the gather lowers to ~2 ms/step on TPU (profiled: fusion.2,
+    # tools/r2_profile.py) while the select-and-reduce fuses to ~nothing.
     logp = jax.nn.log_softmax(prediction, axis=-1)
-    ce = -jnp.mean(jnp.take_along_axis(logp, target[..., None], axis=-1))
+    oh = jax.nn.one_hot(target, c.quantization_channels, dtype=logp.dtype)
+    ce = -jnp.mean(jnp.sum(logp * oh, axis=-1))
 
     aux = {"ce_loss": ce}
     total = ce
