@@ -47,7 +47,11 @@ def log_likelihood(params: Params, config: WaveNetConfig,
         logits = forward_codes(params, c, codes[:, :-1], gc_emb)
     logp = jax.nn.log_softmax(logits, axis=-1)                  # [B, T-1, Q]
     target = codes[:, 1:]
-    per = jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
+    # One-hot contraction, not take_along_axis: the gather lowers to a
+    # ~2 ms/step op on TPU while the select-and-reduce fuses to nothing
+    # (same finding as loss_fn; see docs/performance.md round 2).
+    oh = jax.nn.one_hot(target, c.quantization_channels, dtype=logp.dtype)
+    per = jnp.sum(logp * oh, axis=-1)
     total = jnp.sum(per, axis=-1)
     bits = -total / (per.shape[-1] * jnp.log(2.0))
     return {"logp_per_sample": per, "total_logp": total,
