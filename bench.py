@@ -76,7 +76,7 @@ def _timed(fn, *, reps=1):
 def bench_generation_pallas(batch_size: int, n_samples: int = 16000,
                             state_dtype=None, batch_chunk: int = 0,
                             ring_in_hbm: bool = False,
-                            weight_dtype=None):
+                            weight_dtype=None, prefill: bool = False):
     from wavenet_tpu.models.config import paper_config
     from wavenet_tpu.models.wavenet import init_params
     from wavenet_tpu.kernels.sampler import generate_pallas
@@ -90,6 +90,8 @@ def bench_generation_pallas(batch_size: int, n_samples: int = 16000,
         kw["ring_in_hbm"] = True
     if weight_dtype is not None:
         kw["weight_dtype"] = weight_dtype
+    if prefill:
+        kw["prefill"] = True
     dt = _timed(lambda: generate_pallas(params, config, n_samples, seed=2,
                                         batch_size=batch_size, **kw), reps=3)
     return batch_size * n_samples / dt
@@ -144,17 +146,20 @@ def bench_training(batch_size: int = 8, sample_size: int = 16000,
 
 def main():
     tf1_rate, tf1_kind = tf1_baseline_samples_per_s()
-    # b1/b8: exact-f32 weights (the parity-faithful mode; since the
-    # round-2 mxu_dot fix, f32 really is f32 inside the kernels and
-    # costs multi-pass matmuls). b16/b64: explicit bf16 weights+state —
-    # the throughput mode (single MXU pass; ~5e-3 logit drift).
-    gen_b1 = bench_generation_pallas(1)
-    gen_b8 = bench_generation_pallas(8)
-    gen_b16 = bench_generation_pallas(16, state_dtype=jnp.bfloat16,
+    # Headline (round 3): prefill + streamed decode — parallel conv
+    # priming replaces the receptive-field forced steps (38% of a 16k
+    # run), then the fused kernel decodes. b1/b8: exact-f32 weights (the
+    # parity-faithful mode; since the round-2 mxu_dot fix, f32 really is
+    # f32 inside the kernels). b64/b128: explicit bf16 weights — the
+    # throughput mode (single MXU pass; ~5e-3 logit drift).
+    gen_b1 = bench_generation_pallas(1, prefill=True)
+    gen_b1_seq = bench_generation_pallas(1)
+    gen_b8 = bench_generation_pallas(8, prefill=True)
+    gen_b64 = bench_generation_pallas(64, prefill=True,
                                       weight_dtype=jnp.bfloat16)
-    gen_b64 = bench_generation_pallas(64, ring_in_hbm=True,
-                                      weight_dtype=jnp.bfloat16)
-    gen_b64_f32 = bench_generation_pallas(64, ring_in_hbm=True)
+    gen_b64_f32 = bench_generation_pallas(64, prefill=True)
+    gen_b128 = bench_generation_pallas(128, prefill=True,
+                                       weight_dtype=jnp.bfloat16)
     gen_b64_scan = bench_generation_scan(64, n_samples=4000)
     train_bf16 = bench_training(batch_size=8, compute_dtype="bfloat16")
     train_fp32 = bench_training(batch_size=2, compute_dtype="float32")
@@ -166,10 +171,11 @@ def main():
         "extra": {
             "tf1_fast_gen_samples_per_s": round(tf1_rate, 1),
             "tf1_baseline_kind": tf1_kind,
-            "gen_samples_per_s_b8_pallas": round(gen_b8, 2),
-            "gen_samples_per_s_b16_pallas_bf16": round(gen_b16, 2),
-            "gen_samples_per_s_b64_pallas_hbm_ring_bf16w": round(gen_b64, 2),
-            "gen_samples_per_s_b64_pallas_hbm_ring_f32": round(gen_b64_f32, 2),
+            "gen_samples_per_s_b1_sequential_vmem": round(gen_b1_seq, 2),
+            "gen_samples_per_s_b8_prefill_f32": round(gen_b8, 2),
+            "gen_samples_per_s_b64_prefill_bf16w": round(gen_b64, 2),
+            "gen_samples_per_s_b64_prefill_f32": round(gen_b64_f32, 2),
+            "gen_samples_per_s_b128_prefill_bf16w": round(gen_b128, 2),
             "gen_samples_per_s_b64_scan": round(gen_b64_scan, 2),
             "train_audio_sec_per_s_bf16_b8": round(train_bf16, 3),
             "train_audio_sec_per_s_fp32_b2": round(train_fp32, 3),

@@ -66,7 +66,13 @@ def test_pack_layout_shapes():
                   cfg.dilation_channels, cfg.skip_channels)
     assert packed.layer_w.shape == (L, 2 * R, 2 * D)
     assert packed.layer_add.shape == (L, 3, 2 * D)
-    assert packed.proj_w.shape == (L, D, R + S)
+    assert packed.dense_w.shape == (L, D, R)
+    assert packed.skip_w.shape == (L, D, S)
+    assert packed.skip_b.shape == (1, S)
+    # Gate pre-scaling: the gate half of layer_w is 0.5x the raw weights.
+    np.testing.assert_allclose(
+        np.asarray(packed.layer_w[:, :R, D:]),
+        0.5 * np.asarray(params["gate"][:, 0]), rtol=1e-6)
     assert ring_offsets(cfg) == (0, 1, 3, 7)
 
 

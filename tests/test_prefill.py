@@ -1,0 +1,156 @@
+"""Prefill/decode split parity (kernels/sampler.py:prefill_carry).
+
+The carry produced by ONE parallel conv forward must equal the state the
+sequential kernel reaches after teacher-forcing the same seed: we verify
+it end-to-end by teacher-forcing a CONTINUATION through the stream
+kernel from the prefilled carry and comparing every logit against the
+full conv forward (the §3.5 fast≡slow keystone, applied across the
+prefill boundary).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from wavenet_tpu.models.config import WaveNetConfig
+from wavenet_tpu.models.wavenet import embed_gc, forward, init_params, one_hot
+from wavenet_tpu.kernels.sampler import (
+    _IO_CHUNK, _run_sampler_kernel_hbm_stream, generate_pallas,
+    generate_pallas_resumable, pack_sampler_weights, prefill_carry)
+
+
+def small_config(**kw):
+    d = dict(dilations=(1, 2, 4, 8), residual_channels=4,
+             dilation_channels=4, skip_channels=8,
+             quantization_channels=32, use_biases=True)
+    d.update(kw)
+    return WaveNetConfig(**d)
+
+
+@pytest.mark.parametrize("gc", [False, True])
+@pytest.mark.parametrize("split", ["mid", "edge", "short"])
+def test_prefill_continuation_matches_forward(gc, split, rng):
+    """Prefill over codes[:, :P], teacher-force the rest from the carry:
+    every decode-phase logit must match the parallel forward."""
+    cfg = small_config(gc_channels=4 if gc else None,
+                       gc_cardinality=4 if gc else None)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    B, T = 2, cfg.receptive_field + 9
+    codes = jnp.asarray(rng.randint(0, cfg.quantization_channels, (B, T)))
+    gc_ids = jnp.asarray([0, 3]) if gc else None
+    P = {"mid": cfg.receptive_field + 2,   # past the edge region
+         "edge": cfg.receptive_field - 2,  # inside the edge region
+         "short": 2,                        # seed shorter than max dilation
+         }[split]
+
+    carry = prefill_carry(params, cfg, codes[:, :P], gc_ids)
+    assert carry.t_abs == P - 1
+    np.testing.assert_array_equal(np.asarray(carry.last),
+                                  np.asarray(codes[:, P - 1]))
+
+    gc_emb = embed_gc(params, cfg, gc_ids) if gc else None
+    packed = pack_sampler_weights(params, cfg, B, gc_emb)
+    forced = jnp.transpose(codes[:, P - 1:])          # [T-P+1, B]
+    n_forced = T - P + 1
+    n_total = n_forced                                 # 1 sampled step
+    T_pad = -(-n_total // _IO_CHUNK) * _IO_CHUNK
+    forced_lanes = jnp.zeros((T_pad, 128), jnp.int32)
+    forced_lanes = forced_lanes.at[:n_forced, 0:B].set(forced)
+
+    with pltpu.force_tpu_interpret_mode():
+        _, logits, _, _ = _run_sampler_kernel_hbm_stream(
+            packed, forced_lanes, jnp.asarray([0, carry.t_abs], jnp.int32),
+            carry.ring, carry.causal, cfg, n_total, n_forced, B, 1.0,
+            True, resume=True)
+
+    full = np.asarray(forward(params, cfg,
+                              one_hot(codes, cfg.quantization_channels),
+                              gc_emb))
+    # Kernel step j consumed position P-1+j -> logits for position P-1+j.
+    np.testing.assert_allclose(np.asarray(logits),
+                               full[:, P - 1:T].swapaxes(0, 1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_generate_pallas_prefill_last_logit(rng):
+    cfg = small_config()
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    B, T = 2, cfg.receptive_field + 5
+    codes = jnp.asarray(rng.randint(0, cfg.quantization_channels, (B, T)))
+    out, logits = generate_pallas(params, cfg, n_samples=1, seed=0,
+                                  batch_size=B, seed_codes=codes,
+                                  collect_logits=True, interpret=True,
+                                  prefill=True)
+    assert out.shape == (B, 1)
+    full = np.asarray(forward(params, cfg,
+                              one_hot(codes, cfg.quantization_channels)))
+    np.testing.assert_allclose(np.asarray(logits[:, 0]), full[:, -1],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_prefill_scalar_input_matches_forward(rng):
+    cfg = small_config(scalar_input=True, initial_filter_width=4)
+    params = init_params(jax.random.PRNGKey(4), cfg)
+    B, T = 2, cfg.receptive_field + 6
+    audio = jnp.asarray(rng.uniform(-1, 1, (B, T)).astype(np.float32))
+    P = cfg.receptive_field
+
+    carry = prefill_carry(params, cfg, audio[:, :P])
+    packed = pack_sampler_weights(params, cfg, B)
+    forced = jnp.transpose(audio[:, P - 1:])
+    n_forced = T - P + 1
+    T_pad = -(-n_forced // _IO_CHUNK) * _IO_CHUNK
+    forced_lanes = jnp.zeros((T_pad, 128), jnp.float32)
+    forced_lanes = forced_lanes.at[:n_forced, 0:B].set(forced)
+    with pltpu.force_tpu_interpret_mode():
+        _, logits, _, _ = _run_sampler_kernel_hbm_stream(
+            packed, forced_lanes, jnp.asarray([0, carry.t_abs], jnp.int32),
+            carry.ring, carry.causal, cfg, n_forced, n_forced, B, 1.0,
+            True, resume=True)
+    full = np.asarray(forward(params, cfg, audio[..., None]))
+    np.testing.assert_allclose(np.asarray(logits),
+                               full[:, P - 1:T].swapaxes(0, 1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_unseeded_prefill_generation(rng):
+    cfg = small_config()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    codes = generate_pallas(params, cfg, n_samples=12, seed=5,
+                            batch_size=2, interpret=True, prefill=True)
+    codes = np.asarray(codes)
+    assert codes.shape == (2, 12)
+    assert codes.min() >= 0 and codes.max() < cfg.quantization_channels
+    # Deterministic per seed.
+    codes2 = np.asarray(generate_pallas(params, cfg, n_samples=12, seed=5,
+                                        batch_size=2, interpret=True,
+                                        prefill=True))
+    np.testing.assert_array_equal(codes, codes2)
+
+
+def test_resumable_prefill_segments_are_one_run(rng):
+    """Prefill first segment + resumed continuation == one prefill run."""
+    cfg = small_config()
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    B = 2
+    seed_codes = jnp.asarray(
+        rng.randint(0, cfg.quantization_channels, (B, cfg.receptive_field)))
+
+    one, _ = generate_pallas_resumable(params, cfg, n_samples=10, seed=9,
+                                       batch_size=B, seed_codes=seed_codes,
+                                       interpret=True, prefill=True)
+    a, carry = generate_pallas_resumable(params, cfg, n_samples=4, seed=9,
+                                         batch_size=B,
+                                         seed_codes=seed_codes,
+                                         interpret=True, prefill=True)
+    b, _ = generate_pallas_resumable(params, cfg, n_samples=6, seed=9,
+                                     batch_size=B, carry=carry,
+                                     interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(one)[:, :4], np.asarray(a))
+    # Continuation segments re-seed the PRNG, so only the shapes and the
+    # state-chaining are asserted here (sampled values diverge from the
+    # single-run stream by design, as documented).
+    assert np.asarray(b).shape == (B, 6)

@@ -13,8 +13,12 @@ device program; this kernel goes the rest of the way to speed-of-light:
   [offset_l, offset_l + dilation_l) and reads/writes row
   offset_l + (t mod dilation_l) — FIFO semantics with zero data movement.
 * filter+gate are fused into a single [B, 2R] x [2R, 2D] matmul per layer
-  (taps concatenated on the K axis, filter|gate concatenated on N);
-  dense+skip fuse into one [B, D] x [D, R+S] matmul.
+  (taps concatenated on the K axis, filter|gate concatenated on N), and
+  tanh·sigmoid collapses to ONE [B, 2D] tanh (gate weights pre-scaled
+  by 0.5; sigmoid(g) = 0.5 + 0.5·tanh(g/2), exact). The projection is
+  split: the dense matmul (N=R) is the only thing the next layer waits
+  on; the wide skip matmul (N=S) pipelines behind it off the critical
+  path.
 * Per-layer bias + global-condition contributions are folded into ONE
   precomputed additive term outside the kernel (they are constant across
   timesteps), so the kernel's inner loop is purely matmul+gate.
@@ -44,9 +48,12 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import dataclasses
+
 from wavenet_tpu.kernels.mxu import mxu_dot
 from wavenet_tpu.models.config import WaveNetConfig
-from wavenet_tpu.models.wavenet import Params, embed_gc
+from wavenet_tpu.models.wavenet import (
+    Params, embed_gc, forward, forward_codes)
 
 # Mosaic's default scoped-VMEM budget (~16 MB) rejects wider logits
 # windows / bigger batches that the hardware (v5e: 128 MB VMEM/core)
@@ -56,12 +63,23 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 
 
 class PackedSampler(NamedTuple):
-    """Kernel-ready weight layout (all fp32, every leaf >= 2-D)."""
+    """Kernel-ready weight layout (all fp32, every leaf >= 2-D).
+
+    Round-3 latency layout: the gate half of ``layer_w``/``layer_add`` is
+    PRE-SCALED by 0.5 so the kernel evaluates tanh+sigmoid as ONE
+    transcendental over [B, 2D] (sigmoid(g) == 0.5 + 0.5*tanh(g/2) —
+    exact), and the per-layer projection is SPLIT into the dense part
+    (on the autoregressive critical path, N=R) and the skip part (off
+    the critical path, N=S), with the layer-summed skip bias folded into
+    a single pre-relu additive.
+    """
     causal_w: jnp.ndarray      # [kw * C_in, R]  (taps stacked on K axis)
-    layer_w: jnp.ndarray       # [L, 2R, 2D]     (K = past|current, N = filt|gate)
-    layer_add: jnp.ndarray     # [L, B, 2D]      (bias + gc, broadcast-ready)
-    proj_w: jnp.ndarray        # [L, D, R + S]   (N = dense|skip)
-    proj_add: jnp.ndarray      # [L, 1, R + S]   (dense_bias | skip_bias)
+    layer_w: jnp.ndarray       # [L, 2R, 2D]     (K = past|current, N = filt|gate/2)
+    layer_add: jnp.ndarray     # [L, B, 2D]      (bias + gc; gate half / 2)
+    dense_w: jnp.ndarray       # [L, D, R]
+    dense_add: jnp.ndarray     # [L, 1, R]       (dense_bias)
+    skip_w: jnp.ndarray        # [L, D, S]
+    skip_b: jnp.ndarray        # [1, S]          (sum of per-layer skip biases)
     post1_w: jnp.ndarray       # [S, S]
     post1_b: jnp.ndarray       # [1, S]
     post2_w: jnp.ndarray       # [S, Q]
@@ -72,6 +90,8 @@ class PackedSampler(NamedTuple):
     # from the STATIC config via `ring_offsets`.
 
 
+@functools.partial(jax.jit, static_argnames=("config", "batch_size",
+                                             "weight_dtype"))
 def pack_sampler_weights(params: Params, config: WaveNetConfig,
                          batch_size: int,
                          gc_embedding: Optional[jnp.ndarray] = None,
@@ -80,6 +100,8 @@ def pack_sampler_weights(params: Params, config: WaveNetConfig,
 
     ``weight_dtype=bfloat16`` stores the matmul weights in bf16 (halves
     their VMEM footprint; additive terms stay f32; all accumulation f32).
+    Jitted (config/batch/dtype static): eagerly these ~50 reshapes cost
+    ~50 dispatches through the device relay per generation call.
     """
     c = config
     L, R, D, S, Q = (c.num_layers, c.residual_channels, c.dilation_channels,
@@ -91,8 +113,10 @@ def pack_sampler_weights(params: Params, config: WaveNetConfig,
     cw = params["causal_filter"].astype(f32)
     causal_w = cw.reshape(-1, R)
 
-    # [L, 2, R, D] filter & gate -> [L, 2R, 2D].
-    wf, wg = params["filter"].astype(f32), params["gate"].astype(f32)
+    # [L, 2, R, D] filter & gate -> [L, 2R, 2D]. The GATE half is scaled
+    # by 0.5 (weights AND additive terms) so the kernel computes
+    # sigmoid(g) as 0.5 + 0.5*tanh(g/2) with a single [B, 2D] tanh.
+    wf, wg = params["filter"].astype(f32), 0.5 * params["gate"].astype(f32)
     # K axis order: [past (tap 0) | current (tap 1)].
     layer_w = jnp.concatenate([
         jnp.concatenate([wf[:, 0], wg[:, 0]], axis=-1),   # past rows
@@ -101,7 +125,8 @@ def pack_sampler_weights(params: Params, config: WaveNetConfig,
 
     add = jnp.zeros((L, batch_size, 2 * D), f32)
     if c.use_biases:
-        b = jnp.concatenate([params["filter_bias"], params["gate_bias"]],
+        b = jnp.concatenate([params["filter_bias"],
+                             0.5 * params["gate_bias"]],
                             axis=-1).astype(f32)  # [L, 2D]
         add = add + b[:, None, :]
     if gc_embedding is not None:
@@ -109,18 +134,18 @@ def pack_sampler_weights(params: Params, config: WaveNetConfig,
                          params["gc_filter"].astype(f32))
         gcg = jnp.einsum("bg,lgd->lbd", gc_embedding.astype(f32),
                          params["gc_gate"].astype(f32))
-        add = add + jnp.concatenate([gcf, gcg], axis=-1)
+        add = add + jnp.concatenate([gcf, 0.5 * gcg], axis=-1)
 
-    proj_w = jnp.concatenate([params["dense"].astype(f32),
-                              params["skip"].astype(f32)], axis=-1)
+    dense_w = params["dense"].astype(f32)          # [L, D, R]
+    skip_w = params["skip"].astype(f32)            # [L, D, S]
     if c.use_biases:
-        proj_add = jnp.concatenate(
-            [params["dense_bias"], params["skip_bias"]],
-            axis=-1).astype(f32)[:, None, :]
+        dense_add = params["dense_bias"].astype(f32)[:, None, :]
+        skip_b = jnp.sum(params["skip_bias"].astype(f32), axis=0)[None, :]
         post1_b = params["postprocess1_bias"].astype(f32)[None, :]
         post2_b = params["postprocess2_bias"].astype(f32)[None, :]
     else:
-        proj_add = jnp.zeros((L, 1, R + S), f32)
+        dense_add = jnp.zeros((L, 1, R), f32)
+        skip_b = jnp.zeros((1, S), f32)
         post1_b = jnp.zeros((1, S), f32)
         post2_b = jnp.zeros((1, Q), f32)
 
@@ -128,7 +153,8 @@ def pack_sampler_weights(params: Params, config: WaveNetConfig,
     return PackedSampler(
         causal_w=causal_w.astype(wd), layer_w=layer_w.astype(wd),
         layer_add=add,
-        proj_w=proj_w.astype(wd), proj_add=proj_add,
+        dense_w=dense_w.astype(wd), dense_add=dense_add,
+        skip_w=skip_w.astype(wd), skip_b=skip_b,
         post1_w=params["postprocess1"].astype(wd), post1_b=post1_b,
         post2_w=params["postprocess2"].astype(wd), post2_b=post2_b)
 
@@ -142,7 +168,8 @@ def _sampler_kernel(
     # scalar prefetch
     seed_ref,            # [1] int32
     # inputs
-    causal_w_ref, layer_w_ref, layer_add_ref, proj_w_ref, proj_add_ref,
+    causal_w_ref, layer_w_ref, layer_add_ref,
+    dense_w_ref, dense_add_ref, skip_w_ref, skip_b_ref,
     post1_w_ref, post1_b_ref, post2_w_ref, post2_b_ref,
     forced_ref,          # [1, n_total, bc] — int codes (mu-law mode) or
                          #  f32 amplitudes (scalar mode); time-major (dynamic
@@ -207,13 +234,18 @@ def _sampler_kernel(
             x_cat = jnp.concatenate([past, current], axis=-1)  # [B, 2R]
             fg = mxu_dot(x_cat.astype(layer_w_ref.dtype), layer_w_ref[i])
             fg = fg + layer_add_ref[0, i]
-            out = jnp.tanh(fg[:, :D]) * jax.nn.sigmoid(fg[:, D:])
-            ds = mxu_dot(out.astype(proj_w_ref.dtype), proj_w_ref[i])
-            ds = ds + proj_add_ref[i]
-            current = current + ds[:, :R]
-            skip_sum = skip_sum + ds[:, R:]
+            # Gate half pre-scaled by 0.5 at pack time: ONE tanh over
+            # [B, 2D] gives both tanh(f) and sigmoid(g) (exact identity).
+            tg = jnp.tanh(fg)
+            out = tg[:, :D] * (0.5 + 0.5 * tg[:, D:])
+            # Dense (N=R) gates the next layer; skip (N=S) rides off the
+            # critical path behind it.
+            d = mxu_dot(out.astype(dense_w_ref.dtype), dense_w_ref[i])
+            current = current + d + dense_add_ref[i]
+            skip_sum = skip_sum + mxu_dot(out.astype(skip_w_ref.dtype),
+                                          skip_w_ref[i])
 
-        h = jnp.maximum(skip_sum, 0.0)
+        h = jnp.maximum(skip_sum + skip_b_ref[...], 0.0)
         h = mxu_dot(h.astype(post1_w_ref.dtype), post1_w_ref[...]) + post1_b_ref[...]
         h = jnp.maximum(h, 0.0)
         h = mxu_dot(h.astype(post2_w_ref.dtype), post2_w_ref[...]) + post2_b_ref[...]
@@ -310,7 +342,8 @@ def _run_sampler_kernel(packed: PackedSampler, forced: jnp.ndarray,
             full(),                                             # layer_w
             pl.BlockSpec((1, L, bc, 2 * D), lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            full(), full(), full(), full(), full(), full(),
+            full(), full(), full(), full(),   # dense_w/add, skip_w/b
+            full(), full(), full(), full(),   # post1/2 w+b
             pl.BlockSpec((1, n_total, bc), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),               # forced
         ],
@@ -335,7 +368,8 @@ def _run_sampler_kernel(packed: PackedSampler, forced: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
     )(seed, packed.causal_w, packed.layer_w, add_c,
-      packed.proj_w, packed.proj_add, packed.post1_w, packed.post1_b,
+      packed.dense_w, packed.dense_add, packed.skip_w, packed.skip_b,
+      packed.post1_w, packed.post1_b,
       packed.post2_w, packed.post2_b, forced_c)
     # [nb, n_total, bc] -> [B, n_total]; [nb, n_log, bc, Q] -> [n_log, B, Q]
     codes_bt = jnp.moveaxis(codes, 0, 1).reshape(n_total, B)
@@ -364,7 +398,8 @@ def sampler_vmem_bytes(config: WaveNetConfig, batch_size: int,
     B = batch_size
     weights = (2 * c.input_channels * _lanes(R)
                + L * (2 * R * _lanes(2 * D) + B * _lanes(2 * D)
-                      + D * _lanes(R + S) + _lanes(R + S))
+                      + D * (_lanes(R) + _lanes(S)) + _lanes(R))
+               + _lanes(S)  # layer-summed skip bias
                + S * _lanes(S) + _lanes(S) + S * _lanes(Q) + _lanes(Q))
     state = sum(c.dilations) * B * _lanes(R)
     outputs = (n_samples * _lanes(B)
@@ -384,7 +419,8 @@ def hbm_sampler_vmem_bytes(config: WaveNetConfig, batch_size: int,
     B = batch_size
     weights = (2 * c.input_channels * _lanes(R)
                + L * (2 * R * _lanes(2 * D) + B * _lanes(2 * D)
-                      + D * _lanes(R + S) + _lanes(R + S))
+                      + D * (_lanes(R) + _lanes(S)) + _lanes(R))
+               + _lanes(S)  # layer-summed skip bias
                + S * _lanes(S) + _lanes(S) + S * _lanes(Q) + _lanes(Q))
     streams = 2 * n_samples * _lanes(B)  # forced + codes int32
     slots = 2 * L * B * 128 + 64 * B * 128
@@ -402,7 +438,8 @@ def stream_hbm_sampler_vmem_bytes(config: WaveNetConfig,
     B = batch_size
     weights = (2 * c.input_channels * _lanes(R)
                + L * (2 * R * _lanes(2 * D) + B * _lanes(2 * D)
-                      + D * _lanes(R + S) + _lanes(R + S))
+                      + D * (_lanes(R) + _lanes(S)) + _lanes(R))
+               + _lanes(S)  # layer-summed skip bias
                + S * _lanes(S) + _lanes(S) + S * _lanes(Q) + _lanes(Q))
     slots = 2 * L * B * 128 + 64 * B * 128
     io = 2 * 2 * _IO_CHUNK * 128
@@ -436,13 +473,21 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
                     state_dtype=jnp.float32,
                     batch_chunk: int = 0,
                     ring_in_hbm: bool = False,
-                    stream_io: bool = False):
+                    stream_io: bool = False,
+                    prefill: bool = False):
     """Generate mu-law codes [B, n_samples] in a single kernel launch.
 
     ``seed_codes`` [B, T_seed] teacher-forces the first T_seed steps (queue
     priming); the remaining n_samples are sampled. Distribution matches the
     scan sampler (softmax(logits/T)); the PRNG stream differs (TPU
     hardware PRNG vs jax.random), as documented for seeds.
+
+    ``prefill=True`` primes the queues with ONE parallel conv forward
+    over the seed (``prefill_carry``) instead of T_seed sequential kernel
+    steps, then decodes with the streamed-IO kernel — removing the
+    receptive-field priming steps (38% of a 16k-sample paper-config run)
+    at every batch size. Ring state matches sequential priming to f32
+    round-off; with ``collect_logits`` only DECODE-phase logits exist.
     """
     c = config
     if c.filter_width != 2:
@@ -471,6 +516,26 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
             seed_codes = jnp.concatenate([silence, first[:, None]], axis=1)
     n_forced = int(seed_codes.shape[1])
     n_total = n_forced - 1 + n_samples
+
+    if prefill:
+        carry = prefill_carry(params, c, seed_codes.astype(fdtype), gc_ids)
+        C = _IO_CHUNK
+        T_pad = -(-n_samples // C) * C
+        forced_lanes = jnp.zeros((T_pad, 128), fdtype)
+        forced_lanes = forced_lanes.at[0, 0:B].set(carry.last.astype(fdtype))
+        args_p = (packed, forced_lanes,
+                  jnp.asarray([seed, carry.t_abs], jnp.int32),
+                  carry.ring, carry.causal, c, n_samples, 1, B,
+                  temperature, collect_logits, True)
+        if interpret:
+            with pltpu.force_tpu_interpret_mode():
+                codes, logits, _, _ = _run_sampler_kernel_hbm_stream(*args_p)
+        else:
+            codes, logits, _, _ = _run_sampler_kernel_hbm_stream(*args_p)
+        if collect_logits:
+            logits = _logits_in_step_order(logits, collect_logits, n_samples)
+            return codes, jnp.moveaxis(logits, 0, 1)
+        return codes
 
     forced = jnp.transpose(seed_codes.astype(fdtype))  # [Tf, B]
     pad = n_total - n_forced
@@ -544,7 +609,8 @@ def _sampler_kernel_hbm(
     # scalar prefetch
     seed_ref,
     # inputs
-    causal_w_ref, layer_w_ref, layer_add_ref, proj_w_ref, proj_add_ref,
+    causal_w_ref, layer_w_ref, layer_add_ref,
+    dense_w_ref, dense_add_ref, skip_w_ref, skip_b_ref,
     post1_w_ref, post1_b_ref, post2_w_ref, post2_b_ref,
     forced_ref,          # [1, n_total, B]
     # outputs
@@ -658,13 +724,14 @@ def _sampler_kernel_hbm(
             x_cat = jnp.concatenate([past, current], axis=-1)
             fg = mxu_dot(x_cat.astype(layer_w_ref.dtype), layer_w_ref[i])
             fg = fg + layer_add_ref[0, i]
-            out = jnp.tanh(fg[:, :D]) * jax.nn.sigmoid(fg[:, D:])
-            ds = mxu_dot(out.astype(proj_w_ref.dtype), proj_w_ref[i])
-            ds = ds + proj_add_ref[i]
-            current = current + ds[:, :R]
-            skip_sum = skip_sum + ds[:, R:]
+            tg = jnp.tanh(fg)   # gate half pre-scaled 0.5 at pack time
+            out = tg[:, :D] * (0.5 + 0.5 * tg[:, D:])
+            d = mxu_dot(out.astype(dense_w_ref.dtype), dense_w_ref[i])
+            current = current + d + dense_add_ref[i]
+            skip_sum = skip_sum + mxu_dot(out.astype(skip_w_ref.dtype),
+                                          skip_w_ref[i])
 
-        h = jnp.maximum(skip_sum, 0.0)
+        h = jnp.maximum(skip_sum + skip_b_ref[...], 0.0)
         h = mxu_dot(h.astype(post1_w_ref.dtype), post1_w_ref[...]) + post1_b_ref[...]
         h = jnp.maximum(h, 0.0)
         h = mxu_dot(h.astype(post2_w_ref.dtype), post2_w_ref[...]) + post2_b_ref[...]
@@ -736,7 +803,7 @@ def _run_sampler_kernel_hbm(packed: PackedSampler, forced: jnp.ndarray,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11
                  + [pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),     # codes
@@ -765,7 +832,8 @@ def _run_sampler_kernel_hbm(packed: PackedSampler, forced: jnp.ndarray,
             has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT),
     )(seed, packed.causal_w, packed.layer_w,
       packed.layer_add[None],   # kernel uses the chunk-major [1,L,B,2D] view
-      packed.proj_w, packed.proj_add, packed.post1_w, packed.post1_b,
+      packed.dense_w, packed.dense_add, packed.skip_w, packed.skip_b,
+      packed.post1_w, packed.post1_b,
       packed.post2_w, packed.post2_b, forced)
     return jnp.transpose(codes[0]), logits[0]
 
@@ -782,7 +850,8 @@ def _sampler_kernel_hbm_stream(
     # this segment (ring-row phase for resumed generation)
     seed_ref,
     # inputs
-    causal_w_ref, layer_w_ref, layer_add_ref, proj_w_ref, proj_add_ref,
+    causal_w_ref, layer_w_ref, layer_add_ref,
+    dense_w_ref, dense_add_ref, skip_w_ref, skip_b_ref,
     post1_w_ref, post1_b_ref, post2_w_ref, post2_b_ref,
     forced_hbm,          # [T_pad, 128] fdtype — ANY (HBM), lanes 0:B used
     ring_in_ref,         # [sum_d, B, 128] — ANY (HBM), ALIASED to ring_ref
@@ -923,13 +992,14 @@ def _sampler_kernel_hbm_stream(
             x_cat = jnp.concatenate([past, current], axis=-1)
             fg = mxu_dot(x_cat.astype(layer_w_ref.dtype), layer_w_ref[i])
             fg = fg + layer_add_ref[0, i]
-            out = jnp.tanh(fg[:, :D]) * jax.nn.sigmoid(fg[:, D:])
-            ds = mxu_dot(out.astype(proj_w_ref.dtype), proj_w_ref[i])
-            ds = ds + proj_add_ref[i]
-            current = current + ds[:, :R]
-            skip_sum = skip_sum + ds[:, R:]
+            tg = jnp.tanh(fg)   # gate half pre-scaled 0.5 at pack time
+            out = tg[:, :D] * (0.5 + 0.5 * tg[:, D:])
+            d = mxu_dot(out.astype(dense_w_ref.dtype), dense_w_ref[i])
+            current = current + d + dense_add_ref[i]
+            skip_sum = skip_sum + mxu_dot(out.astype(skip_w_ref.dtype),
+                                          skip_w_ref[i])
 
-        h = jnp.maximum(skip_sum, 0.0)
+        h = jnp.maximum(skip_sum + skip_b_ref[...], 0.0)
         h = mxu_dot(h.astype(post1_w_ref.dtype), post1_w_ref[...]) + post1_b_ref[...]
         h = jnp.maximum(h, 0.0)
         h = mxu_dot(h.astype(post2_w_ref.dtype), post2_w_ref[...]) + post2_b_ref[...]
@@ -1054,7 +1124,7 @@ def _run_sampler_kernel_hbm_stream(packed: PackedSampler,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11
                  + [pl.BlockSpec(memory_space=pl.ANY),      # forced
                     pl.BlockSpec(memory_space=pl.ANY),      # ring_in
                     pl.BlockSpec(memory_space=pltpu.VMEM)], # causal_in
@@ -1078,7 +1148,7 @@ def _run_sampler_kernel_hbm_stream(packed: PackedSampler,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    # Operand index 11 (seed, 9 weights, forced, RING_IN) aliases output
+    # Operand index 13 (seed, 11 weights, forced, RING_IN) aliases output
     # index 2 (the ring): prior segment state is updated in place.
     codes, logits, ring, causal_out = pl.pallas_call(
         kernel,
@@ -1090,12 +1160,13 @@ def _run_sampler_kernel_hbm_stream(packed: PackedSampler,
             jax.ShapeDtypeStruct((B, (kw_in - 1) * c.input_channels),
                                  jnp.float32),
         ),
-        input_output_aliases={11: 2},
+        input_output_aliases={13: 2},
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT),
     )(seed, packed.causal_w, packed.layer_w,
       packed.layer_add[None],
-      packed.proj_w, packed.proj_add, packed.post1_w, packed.post1_b,
+      packed.dense_w, packed.dense_add, packed.skip_w, packed.skip_b,
+      packed.post1_w, packed.post1_b,
       packed.post2_w, packed.post2_b, forced_lanes, ring_in, causal_in)
     return (jnp.transpose(codes[:n_total, 0:B]), logits[0], ring,
             causal_out)
@@ -1122,6 +1193,124 @@ def _stream_zero_state(config: WaveNetConfig, batch_size: int):
     return ring, causal
 
 
+def prefill_carry(params: Params, config: WaveNetConfig,
+                  seed_codes: jnp.ndarray,
+                  gc_ids: Optional[jnp.ndarray] = None
+                  ) -> StreamSamplerCarry:
+    """Parallel queue priming: one conv forward replaces T-1 kernel steps.
+
+    The sequential sampler spends receptive_field-1 teacher-forced steps
+    (~6k for the paper config — 38% of a 16k-sample run) just filling its
+    ring buffers before the first free sample. But the ring state after
+    teacher-forcing steps 0..T-2 is, by construction, the residual stream
+    entering each layer at the last dilation_l positions — exactly what
+    the PARALLEL conv forward computes in one XLA pass over the seed
+    (milliseconds, MXU-batched). This is the prompt-prefill / decode
+    split of LLM serving applied to WaveNet: prefill with the parallel
+    network, decode with the fused sampler kernel.
+
+    Equivalence: the kernel's zeroed ring == causal left-zero-padding of
+    every layer's activations, which is precisely ``forward``'s padding
+    semantics (tests/test_pallas_sampler.py asserts kernel logits ==
+    forward logits at ALL positions, including the edge region), so the
+    prefilled ring matches sequential priming to f32 round-off.
+
+    ``seed_codes`` is [B, T]: int mu-law codes, or raw f32 amplitudes in
+    scalar-input mode (same convention as ``generate_pallas``). The
+    returned carry resumes decoding at absolute step T-1 with
+    ``carry.last = seed_codes[:, -1]`` as the first decode input —
+    identical indexing to the sequential forced path.
+    """
+    c = config
+    B, T = seed_codes.shape
+    T_pre = T - 1            # sequential steps replaced: 0 .. T-2
+
+    if c.scalar_input:
+        last = seed_codes[:, -1].astype(jnp.float32)
+    else:
+        last = seed_codes[:, -1].astype(jnp.int32)
+
+    if T_pre == 0:
+        ring, causal = _stream_zero_state(c, B)
+        return StreamSamplerCarry(ring=ring, causal=causal, t_abs=0,
+                                  last=last)
+
+    ring, causal = _prefill_state(params, c, seed_codes, gc_ids)
+    return StreamSamplerCarry(ring=ring, causal=causal, t_abs=T_pre,
+                              last=last)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _prefill_state(params: Params, config: WaveNetConfig,
+                   seed_codes: jnp.ndarray,
+                   gc_ids: Optional[jnp.ndarray]):
+    """(ring, causal) after teacher-forcing steps 0..T-2, via ONE jitted
+    XLA program (eagerly this is ~300 dispatches through the device
+    relay — seconds of pure launch latency)."""
+    c = config
+    B, T = seed_codes.shape
+    R = c.residual_channels
+    T_pre = T - 1
+    sum_d = sum(c.dilations)
+    kw_in = (c.initial_filter_width if c.scalar_input else c.filter_width)
+    n_keep = (kw_in - 1) * c.input_channels
+
+    # Layer inputs from the parallel forward, in parity-exact f32
+    # (HIGHEST matmuls — matches the kernel's mxu_dot discipline).
+    cfg32 = dataclasses.replace(c, compute_dtype="float32",
+                                use_pallas_stack=False, remat=False)
+    gc_emb = embed_gc(params, c, gc_ids) if gc_ids is not None else None
+    keep = tuple(min(d, T_pre) for d in c.dilations)
+    if c.scalar_input:
+        x = seed_codes[:, :T_pre, None].astype(jnp.float32)
+        layer_ins = forward(params, cfg32, x, gc_emb,
+                            collect_layer_inputs=keep)
+    else:
+        layer_ins = forward_codes(params, cfg32,
+                                  seed_codes[:, :T_pre].astype(jnp.int32),
+                                  gc_emb, collect_layer_inputs=keep)
+
+    # Ring row offsets[l] + tau % d must hold x_l(tau) for the last
+    # min(d, T_pre) positions tau < T_pre (untouched rows stay zero, as
+    # after sequential priming). Per layer: left-pad the kept window to
+    # d rows, then roll by T_pre % d so window row j (time
+    # tau = T_pre - d + j) lands on row tau % d.
+    blocks = []
+    for l, d in enumerate(c.dilations):
+        w = jnp.moveaxis(layer_ins[l], 1, 0)          # [keep_l, B, R]
+        if keep[l] < d:
+            w = jnp.concatenate(
+                [jnp.zeros((d - keep[l], B, R), jnp.float32), w], axis=0)
+        blocks.append(jnp.roll(w, T_pre % d, axis=0))
+    ring_small = jnp.concatenate(blocks, axis=0)      # [sum_d, B, R]
+    ring = jnp.zeros((sum_d, B, 128), jnp.float32)
+    ring = ring.at[:, :, 0:R].set(ring_small)
+
+    # Causal shift register: features of positions T_pre-kw+1 .. T_pre-1,
+    # oldest first (kernel invariant: buf == window[:, C_in:] after the
+    # last primed step).
+    n_tail = kw_in - 1
+    if c.scalar_input:
+        tail = seed_codes[:, max(0, T_pre - n_tail):T_pre]
+        tail = tail.astype(jnp.float32)
+        if tail.shape[1] < n_tail:
+            tail = jnp.concatenate(
+                [jnp.zeros((B, n_tail - tail.shape[1]), jnp.float32), tail],
+                axis=1)
+        causal = tail                                  # C_in == 1
+    else:
+        tail = seed_codes[:, max(0, T_pre - n_tail):T_pre].astype(jnp.int32)
+        oh = jax.nn.one_hot(tail, c.quantization_channels,
+                            dtype=jnp.float32)         # [B, k, Q]
+        if oh.shape[1] < n_tail:
+            oh = jnp.concatenate(
+                [jnp.zeros((B, n_tail - oh.shape[1],
+                            c.quantization_channels), jnp.float32), oh],
+                axis=1)
+        causal = oh.reshape(B, n_keep)
+    return ring, causal
+
+
 def generate_pallas_resumable(params: Params, config: WaveNetConfig,
                               n_samples: int, seed: int,
                               batch_size: int = 1,
@@ -1130,16 +1319,20 @@ def generate_pallas_resumable(params: Params, config: WaveNetConfig,
                               seed_codes: Optional[jnp.ndarray] = None,
                               carry: Optional[StreamSamplerCarry] = None,
                               weight_dtype=jnp.float32,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              prefill: bool = True):
     """One SEGMENT of streamed generation; returns (codes, carry').
 
     First call (carry=None): primes exactly like ``generate_pallas``
-    (seed_codes, or the rf-1-silence + random-first unseeded recipe).
-    Continuations pass the returned carry — the kernel resumes from the
-    HBM ring (donated and updated in place), the causal shift register,
-    and the absolute ring phase, so the concatenated segments equal one
-    single long run sample-for-sample (same PRNG seed stream per
-    segment; vary ``seed`` per segment for fresh randomness).
+    (seed_codes, or the rf-1-silence + random-first unseeded recipe) —
+    by default via ``prefill_carry`` (one parallel conv forward instead
+    of T_seed sequential steps; pass ``prefill=False`` for the
+    sequential in-kernel forced path). Continuations pass the returned
+    carry — the kernel resumes from the HBM ring (donated and updated in
+    place), the causal shift register, and the absolute ring phase, so
+    the concatenated segments equal one single long run
+    sample-for-sample (same PRNG seed stream per segment; vary ``seed``
+    per segment for fresh randomness).
 
     This is what --save_every uses on the Pallas path: generate a
     segment, dump the partial wav, resume (reference generate.py ≈:225
@@ -1154,9 +1347,6 @@ def generate_pallas_resumable(params: Params, config: WaveNetConfig,
     fdtype = jnp.float32 if c.scalar_input else jnp.int32
 
     if carry is None:
-        resume = False
-        t0 = 0
-        ring_in, causal_in = _stream_zero_state(c, B)
         if seed_codes is None:
             if c.scalar_input:
                 seed_codes = jnp.zeros((B, c.receptive_field), jnp.float32)
@@ -1168,6 +1358,18 @@ def generate_pallas_resumable(params: Params, config: WaveNetConfig,
                     c.quantization_channels)
                 seed_codes = jnp.concatenate([silence, first[:, None]],
                                              axis=1)
+        if prefill:
+            # Parallel priming, then decode as a continuation segment.
+            carry = prefill_carry(params, c, seed_codes.astype(fdtype),
+                                  gc_ids)
+            resume = True
+            t0 = carry.t_abs
+            ring_in, causal_in = carry.ring, carry.causal
+            seed_codes = carry.last[:, None].astype(fdtype)
+        else:
+            resume = False
+            t0 = 0
+            ring_in, causal_in = _stream_zero_state(c, B)
     else:
         resume = True
         t0 = carry.t_abs

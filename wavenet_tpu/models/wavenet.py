@@ -28,7 +28,7 @@ Init parity quirks preserved from the reference:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -192,7 +192,8 @@ _embed_rows.defvjp(_embed_rows_fwd, _embed_rows_bwd)
 def forward(params: Params, config: WaveNetConfig,
             network_input: jnp.ndarray,
             gc_embedding: Optional[jnp.ndarray] = None,
-            head_from: int = 0) -> jnp.ndarray:
+            head_from: int = 0,
+            collect_layer_inputs: Optional[Tuple[int, ...]] = None):
     """Full-length forward pass: [B, T, C_in] -> logits [B, T, Q].
 
     ``network_input`` is one-hot mu-law floats (or [B, T, 1] raw amplitude
@@ -215,12 +216,13 @@ def forward(params: Params, config: WaveNetConfig,
     # Initial causal layer (reference ``_create_causal_layer`` ≈:265).
     current = causal_conv_padded(x, causal_w, dilation=1, precision=precision)
     return _dilated_stack(params, c, current, gc_embedding, compute_dtype,
-                          precision, head_from)
+                          precision, head_from, collect_layer_inputs)
 
 
 def _dilated_stack(params: Params, c: WaveNetConfig, current: jnp.ndarray,
                    gc_embedding: Optional[jnp.ndarray], compute_dtype,
-                   precision, head_from: int = 0) -> jnp.ndarray:
+                   precision, head_from: int = 0,
+                   collect_layer_inputs: Optional[Tuple[int, ...]] = None):
     """Gated dilation layers + skip sum + postprocessing head.
 
     Layer math parity with reference ``_create_dilation_layer``
@@ -252,7 +254,7 @@ def _dilated_stack(params: Params, c: WaveNetConfig, current: jnp.ndarray,
     if gc_embedding is not None:
         gc = _maybe_cast(gc_embedding, c)  # [B, G]
 
-    if c.use_pallas_stack:
+    if c.use_pallas_stack and collect_layer_inputs is None:
         if c.filter_width != 2:
             raise NotImplementedError(
                 "use_pallas_stack requires filter_width=2")
@@ -305,10 +307,20 @@ def _dilated_stack(params: Params, c: WaveNetConfig, current: jnp.ndarray,
         layer_keys += ["gc_filter", "gc_gate"]
 
     gate_outs = []
+    layer_inputs = []
     for i, dilation in enumerate(c.dilations):
+        if collect_layer_inputs is not None:
+            # Sampler prefill (kernels/sampler.py:prefill_carry): the
+            # ring-buffer state after teacher-forcing IS the residual
+            # stream entering each layer — keep the last
+            # collect_layer_inputs[i] positions, in f32.
+            keep = collect_layer_inputs[i]
+            layer_inputs.append(current[:, -keep:].astype(jnp.float32))
         layer_params = {k: params[k][i] for k in layer_keys}
         current, out = layer_fn(current, layer_params, dilation)
         gate_outs.append(out)
+    if collect_layer_inputs is not None:
+        return layer_inputs
 
     # Deferred skip head: one big matmul over all layers' gate outputs.
     all_outs = jnp.concatenate(gate_outs, axis=-1)          # [B, T, L*D]
@@ -337,7 +349,8 @@ def _dilated_stack(params: Params, c: WaveNetConfig, current: jnp.ndarray,
 def forward_codes(params: Params, config: WaveNetConfig,
                   codes: jnp.ndarray,
                   gc_embedding: Optional[jnp.ndarray] = None,
-                  head_from: int = 0) -> jnp.ndarray:
+                  head_from: int = 0,
+                  collect_layer_inputs: Optional[Tuple[int, ...]] = None):
     """Forward pass from integer mu-law codes [B, T] (no one-hot tensor).
 
     The initial causal conv applied to one-hot input is algebraically a
@@ -364,7 +377,7 @@ def forward_codes(params: Params, config: WaveNetConfig,
         current = current.at[:, shift:, :].add(tap)
     current = current.astype(compute_dtype)
     return _dilated_stack(params, c, current, gc_embedding, compute_dtype,
-                          precision, head_from)
+                          precision, head_from, collect_layer_inputs)
 
 
 def _dilated_stack_pallas(params: Params, c: WaveNetConfig,

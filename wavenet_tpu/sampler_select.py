@@ -1,7 +1,8 @@
 """Compiler-verified sampler selection, shared by the CLI and the server.
 
-Preference order: all-VMEM Pallas (f32 state), VMEM bf16 ring state, HBM
-ring, batch-chunked bf16, lax.scan. The VMEM byte estimates deliberately
+Preference order: prefill + streamed decode (parallel conv priming,
+run-length-independent VMEM), all-VMEM Pallas (f32 state), VMEM bf16
+ring state, HBM ring, batch-chunked bf16, lax.scan. The VMEM byte estimates deliberately
 over-count (worst-case Mosaic lane padding) and only prune hopeless
 attempts; the ground truth is the Mosaic compiler — an attempt whose
 compile fails on resources falls through to the next path. Failed
@@ -71,6 +72,13 @@ def sampler_attempts(config, batch_size: int, n_total: int,
              if precision == "bfloat16" else {})
     wtag = " bf16w" if bf16w else ""
     attempts = []
+    if stream_hbm_sampler_vmem_bytes(config, batch_size) < GENEROUS_VMEM:
+        # Preferred: parallel prefill (one conv forward replaces the
+        # receptive-field priming steps) + streamed-IO decode. Measured
+        # (tools/r3_gen_latency.py, v5-lite): >= the sequential VMEM
+        # kernel at b1-b8 and 1.3-1.6x it at b64-b128.
+        attempts.append((f"Pallas (prefill + streamed decode{wtag})",
+                         dict(bf16w, prefill=True)))
     if sampler_vmem_bytes(config, batch_size, n_total) < GENEROUS_VMEM:
         attempts.append((f"Pallas (f32 state{wtag})", dict(bf16w)))
     if sampler_vmem_bytes(config, batch_size, n_total,
