@@ -130,6 +130,38 @@ def test_unseeded_prefill_generation(rng):
     np.testing.assert_array_equal(codes, codes2)
 
 
+@pytest.mark.parametrize("mode", ["mulaw", "mulaw_gc", "scalar", "short"])
+def test_scan_prefill_state_equals_sequential_priming(mode, rng):
+    """sample.prefill_state == sample.prime_state (every buffer, f32)."""
+    from wavenet_tpu.sample import (
+        init_sampler_state, prefill_state, prime_state)
+    kw = {}
+    if mode == "mulaw_gc":
+        kw = dict(gc_channels=4, gc_cardinality=4)
+    if mode == "scalar":
+        kw = dict(scalar_input=True, initial_filter_width=4)
+    cfg = small_config(**kw)
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    B = 2
+    T = 3 if mode == "short" else cfg.receptive_field + 5
+    if cfg.scalar_input:
+        wave = jnp.asarray(rng.uniform(-1, 1, (B, T)).astype(np.float32))
+    else:
+        wave = jnp.asarray(rng.randint(0, cfg.quantization_channels, (B, T)))
+    gc_emb = (embed_gc(params, cfg, jnp.asarray([1, 2]))
+              if cfg.gc_enabled else None)
+
+    seq = prime_state(params, cfg, init_sampler_state(cfg, B), wave, gc_emb)
+    par = prefill_state(params, cfg, wave, gc_emb)
+    assert int(par.t) == int(seq.t) == T
+    np.testing.assert_allclose(np.asarray(par.causal_buf),
+                               np.asarray(seq.causal_buf),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(par.layer_bufs),
+                               np.asarray(seq.layer_bufs),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_resumable_prefill_segments_are_one_run(rng):
     """Prefill first segment + resumed continuation == one prefill run."""
     cfg = small_config()

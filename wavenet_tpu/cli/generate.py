@@ -266,13 +266,11 @@ def _generate_chunked_scan(params, config, args, key, gc_ids, seed_codes,
     from wavenet_tpu.audio import mu_law_decode_np, write_wav
     from wavenet_tpu.models.wavenet import embed_gc
     from wavenet_tpu.sample import (
-        _featurize, generate_codes_resumable, init_sampler_state,
-        prime_state)
+        _featurize, generate_codes_resumable, prefill_state)
 
     c = config
     B = args.batch_size
     gc_emb = embed_gc(params, c, gc_ids) if gc_ids is not None else None
-    state = init_sampler_state(c, B)
     key_first, key = jax.random.split(key)
     if seed_codes is None:
         if c.scalar_input:
@@ -285,11 +283,12 @@ def _generate_chunked_scan(params, config, args, key, gc_ids, seed_codes,
                                c.quantization_channels // 2, jnp.int32)
             first = jax.random.randint(key_first, (B,), 0,
                                        c.quantization_channels)
-        state = prime_state(params, c, state, silence, gc_emb)
+        state = prefill_state(params, c, silence, gc_emb)
     else:
         # seed_codes: int classes, or raw amplitudes in scalar mode
-        # (create_seed already branches) — prime_state handles both.
-        state = prime_state(params, c, state, seed_codes[:, :-1], gc_emb)
+        # (create_seed already branches) — prefill_state handles both
+        # (one parallel forward instead of a receptive-field scan).
+        state = prefill_state(params, c, seed_codes[:, :-1], gc_emb)
         first = seed_codes[:, -1]
 
     x = _featurize(first, c)

@@ -165,7 +165,8 @@ def prime_state(params: Params, config: WaveNetConfig, state: SamplerState,
     ``waveform``: [B, T_seed] int codes (or float amplitudes in scalar
     mode). Equivalent to the reference's seed-priming loop
     (generate.py ≈:180: run next_sample+push_ops per seed sample, discard
-    predictions).
+    predictions). Kept as the sequential parity oracle;
+    ``prefill_state`` computes the same state in one parallel forward.
     """
     def body(st, x_t):
         st, _ = sampler_step(params, config, st, _featurize(x_t, config),
@@ -174,6 +175,69 @@ def prime_state(params: Params, config: WaveNetConfig, state: SamplerState,
 
     state, _ = lax.scan(body, state, jnp.moveaxis(waveform, 1, 0))
     return state
+
+
+@partial(jax.jit, static_argnames=("config",))
+def prefill_state(params: Params, config: WaveNetConfig,
+                  waveform: jnp.ndarray,
+                  gc_embedding: Optional[jnp.ndarray] = None) -> SamplerState:
+    """``prime_state`` in ONE parallel conv forward (prefill/decode split).
+
+    The queue state after teacher-forcing ``waveform`` [B, T] is, layer
+    by layer, the residual stream entering that layer at its last
+    dilation_l positions — which the parallel forward computes on the
+    MXU in one pass instead of T sequential scan steps. Matches
+    ``prime_state`` to f32 round-off (tested); same trick as the Pallas
+    path's ``kernels.sampler.prefill_carry``.
+    """
+    c = config
+    B, T = waveform.shape
+    R = c.residual_channels
+    kw = _input_kernel_width(c)
+    max_d = max(c.dilations)
+    if T == 0:
+        return init_sampler_state(c, B)
+
+    import dataclasses
+
+    from wavenet_tpu.models.wavenet import forward, forward_codes
+
+    cfg32 = dataclasses.replace(c, compute_dtype="float32",
+                                use_pallas_stack=False, remat=False)
+    keep = tuple(min(d, T) for d in c.dilations)
+    if c.scalar_input:
+        layer_ins = forward(params, cfg32,
+                            waveform[..., None].astype(jnp.float32),
+                            gc_embedding, collect_layer_inputs=keep)
+    else:
+        layer_ins = forward_codes(params, cfg32, waveform.astype(jnp.int32),
+                                  gc_embedding, collect_layer_inputs=keep)
+
+    # Slot tau % d_l holds x_l(tau) for the last min(d_l, T) positions;
+    # unwritten slots (and slots >= d_l) stay zero, as in init state.
+    blocks = []
+    for l, d in enumerate(c.dilations):
+        w = jnp.moveaxis(layer_ins[l], 1, 0)          # [keep_l, B, R]
+        if keep[l] < d:
+            w = jnp.concatenate(
+                [jnp.zeros((d - keep[l], B, R), jnp.float32), w], axis=0)
+        w = jnp.roll(w, T % d, axis=0)
+        if d < max_d:
+            w = jnp.concatenate(
+                [w, jnp.zeros((max_d - d, B, R), jnp.float32)], axis=0)
+        blocks.append(w)
+    layer_bufs = jnp.stack(blocks, axis=0)            # [L, max_d, B, R]
+
+    # Causal shift register: raw input features of the last kw-1 steps
+    # ([B, k, C_in]: one-hot rows, or amplitudes in scalar mode).
+    n_tail = kw - 1
+    feats = _featurize(waveform[:, max(0, T - n_tail):], c)
+    if feats.shape[1] < n_tail:
+        feats = jnp.concatenate(
+            [jnp.zeros((B, n_tail - feats.shape[1], c.input_channels),
+                       jnp.float32), feats], axis=1)
+    return SamplerState(t=jnp.asarray(T, jnp.int32), causal_buf=feats,
+                        layer_bufs=layer_bufs)
 
 
 @partial(jax.jit, static_argnames=("config", "n_samples"),
@@ -267,13 +331,12 @@ def generate(params: Params, config: WaveNetConfig, n_samples: int,
     sample, matching the reference's unseeded start (generate.py ≈:170).
     """
     c = config
-    state = init_sampler_state(c, batch_size)
     gc_emb = embed_gc(params, c, gc_ids) if gc_ids is not None else None
 
     if c.scalar_input and seed_codes is not None:
         # In scalar mode the seed is raw amplitudes [B, T]; prime with the
         # amplitudes, then continue from the decoded last sample.
-        state = prime_state(params, c, state, seed_codes[:, :-1], gc_emb)
+        state = prefill_state(params, c, seed_codes[:, :-1], gc_emb)
         first_input = seed_codes[:, -1][..., None].astype(jnp.float32)
         return generate_codes(params, c, state, first_input, n_samples,
                               key, temperature, gc_emb)
@@ -283,17 +346,17 @@ def generate(params: Params, config: WaveNetConfig, n_samples: int,
         if c.scalar_input:
             silence = jnp.zeros((batch_size, c.receptive_field - 1),
                                 jnp.float32)
-            state = prime_state(params, c, state, silence, gc_emb)
+            state = prefill_state(params, c, silence, gc_emb)
             first = jnp.zeros((batch_size,), jnp.float32)
             return generate_codes(params, c, state, first[..., None],
                                   n_samples, key_gen, temperature, gc_emb)
         silence = jnp.full((batch_size, c.receptive_field - 1),
                            c.quantization_channels // 2, jnp.int32)
-        state = prime_state(params, c, state, silence, gc_emb)
+        state = prefill_state(params, c, silence, gc_emb)
         first = jax.random.randint(key_first, (batch_size,), 0,
                                    c.quantization_channels)
     else:
-        state = prime_state(params, c, state, seed_codes[:, :-1], gc_emb)
+        state = prefill_state(params, c, seed_codes[:, :-1], gc_emb)
         first = seed_codes[:, -1]
 
     return generate_codes(params, c, state, _featurize(first, c),
