@@ -124,10 +124,9 @@ def test_multihost_helpers_single_process_degrade():
 
 def test_sharded_generation_matches_single_device():
     # dp x tp sharded sampling must emit the same codes as one device
-    # (same jax.random keys -> same draws).
-    from wavenet_tpu.sample import generate_codes, generate_sharded, \
-        init_sampler_state, _featurize
-    import jax.numpy as jnp
+    # (same jax.random keys -> same draws; both use the unseeded
+    # prefill recipe: rf-1 silence + one random first code).
+    from wavenet_tpu.sample import generate, generate_sharded
 
     cfg = cfg_for_tp()
     from wavenet_tpu.models.wavenet import init_params
@@ -135,10 +134,7 @@ def test_sharded_generation_matches_single_device():
     key = jax.random.PRNGKey(9)
     n, B = 40, 8
 
-    state = init_sampler_state(cfg, B)
-    first = jnp.full((B,), cfg.quantization_channels // 2, jnp.int32)
-    ref = np.asarray(generate_codes(params, cfg, state,
-                                    _featurize(first, cfg), n, key))
+    ref = np.asarray(generate(params, cfg, n, key, batch_size=B))
 
     mesh = make_mesh(model_parallelism=2)  # (4 data, 2 model)
     out = np.asarray(generate_sharded(params, cfg, n, key, mesh, B))

@@ -281,7 +281,8 @@ def generate_codes(params: Params, config: WaveNetConfig,
 def generate_sharded(params: Params, config: WaveNetConfig, n_samples: int,
                      key: jax.Array, mesh, batch_size: int,
                      gc_ids: Optional[jnp.ndarray] = None,
-                     temperature: float = 1.0) -> jnp.ndarray:
+                     temperature: float = 1.0,
+                     seed_codes: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Batched generation over a device mesh (dp over batch, tp optional).
 
     The sampling state (ring buffers [L, max_d, B, R]) is sharded over the
@@ -291,32 +292,50 @@ def generate_sharded(params: Params, config: WaveNetConfig, n_samples: int,
     ones (psum over ICI) automatically. This is the BASELINE
     "multi-host batched sampling with state exchanged via collectives"
     path — on a multi-host mesh the same code spans DCN.
+
+    Priming follows ``generate``'s recipe (seed, or receptive_field-1
+    silence + one random first code) via ``prefill_state`` — the
+    parallel prefill forward SPMDs over the same mesh.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
     from wavenet_tpu.parallel.sharding import DATA_AXIS, shard_params
 
+    c = config
     if batch_size % mesh.shape[DATA_AXIS] != 0:
         raise ValueError(f"batch {batch_size} not divisible by data axis "
                          f"{mesh.shape[DATA_AXIS]}")
-    sharded_params = shard_params(params, config, mesh)
-    state = init_sampler_state(config, batch_size)
+    sharded_params = shard_params(params, c, mesh)
+    gc_emb = embed_gc(sharded_params, c, gc_ids) \
+        if gc_ids is not None else None
+
+    key_first, key_gen = jax.random.split(key)
+    batch_spec = NamedSharding(mesh, P(DATA_AXIS, None))
+    if seed_codes is None:
+        if c.scalar_input:
+            prime = jnp.zeros((batch_size, c.receptive_field - 1),
+                              jnp.float32)
+            first = jnp.zeros((batch_size,), jnp.float32)
+        else:
+            prime = jnp.full((batch_size, c.receptive_field - 1),
+                             c.quantization_channels // 2, jnp.int32)
+            first = jax.random.randint(key_first, (batch_size,), 0,
+                                       c.quantization_channels)
+    else:
+        prime = seed_codes[:, :-1]
+        first = seed_codes[:, -1]
+    state = prefill_state(sharded_params, c,
+                          jax.device_put(prime, batch_spec), gc_emb)
     state = SamplerState(
-        t=jax.device_put(state.t, NamedSharding(mesh, P())),
+        t=state.t,
         causal_buf=jax.device_put(
             state.causal_buf, NamedSharding(mesh, P(DATA_AXIS, None, None))),
         layer_bufs=jax.device_put(
             state.layer_bufs,
             NamedSharding(mesh, P(None, None, DATA_AXIS, None))),
     )
-    gc_emb = embed_gc(sharded_params, config, gc_ids) \
-        if gc_ids is not None else None
-
-    first = jnp.full((batch_size,), config.quantization_channels // 2,
-                     jnp.int32)
-    first_in = jax.device_put(_featurize(first, config),
-                              NamedSharding(mesh, P(DATA_AXIS, None)))
-    return generate_codes(sharded_params, config, state, first_in,
-                          n_samples, key, temperature, gc_emb)
+    first_in = jax.device_put(_featurize(first, c), batch_spec)
+    return generate_codes(sharded_params, c, state, first_in,
+                          n_samples, key_gen, temperature, gc_emb)
 
 
 def generate(params: Params, config: WaveNetConfig, n_samples: int,
