@@ -117,6 +117,10 @@ def make_kernel(config, mode):
             return h
 
         def sample_from(logits):
+            if mode == "no_sample":
+                # Keep a data dependence on logits so nothing dead-codes.
+                return jnp.argmax(logits, axis=-1,
+                                  keepdims=True).astype(jnp.int32)
             bits = pltpu.prng_random_bits((B, Q))
             u = pltpu.bitcast(
                 (pltpu.bitcast(bits, jnp.uint32) >> 9) | 0x3F800000,
@@ -181,7 +185,7 @@ def main():
     seed = jnp.asarray([7], jnp.int32)
 
     modes = ["full", "no_skip", "no_dense", "no_fg", "no_tanh", "no_ring",
-             "no_head", "no_feat", "mm_only"]
+             "no_head", "no_sample", "no_feat", "mm_only"]
     results = {}
     for mode in modes:
         try:
