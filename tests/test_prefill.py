@@ -162,6 +162,24 @@ def test_scan_prefill_state_equals_sequential_priming(mode, rng):
                                rtol=1e-4, atol=1e-6)
 
 
+def test_sampler_attempts_prefer_prefill(monkeypatch):
+    """On a TPU-like platform the first attempt must be the prefill +
+    streamed-decode path, for every batch size."""
+    from wavenet_tpu import sampler_select
+
+    class FakeDev:
+        platform = "tpu"
+
+    monkeypatch.setattr(sampler_select.jax, "devices", lambda: [FakeDev()])
+    cfg = small_config()
+    for b in (1, 8, 64, 128):
+        attempts = sampler_select.sampler_attempts(cfg, b, 16000)
+        assert attempts, f"no attempts at b={b}"
+        name, kw = attempts[0]
+        assert "prefill" in name
+        assert kw.get("prefill") is True
+
+
 def test_resumable_prefill_segments_are_one_run(rng):
     """Prefill first segment + resumed continuation == one prefill run."""
     cfg = small_config()

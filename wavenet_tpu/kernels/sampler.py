@@ -164,6 +164,27 @@ def ring_offsets(config: WaveNetConfig) -> Tuple[int, ...]:
     return tuple(int(o) for o in np.cumsum((0,) + config.dilations[:-1]))
 
 
+def unseeded_seed_codes(config: WaveNetConfig, batch_size: int,
+                        seed: int) -> jnp.ndarray:
+    """The unseeded priming recipe, shared by every sampler path.
+
+    Matches sample.generate (and the reference, generate.py ≈:170):
+    receptive_field-1 silence steps, then one uniform-random first code
+    — so --sampler auto does not change the initial transient depending
+    on which path compiles (only the PRNG stream differs, as
+    documented). Scalar mode primes raw 0.0 amplitudes and starts from
+    silence.
+    """
+    c = config
+    if c.scalar_input:
+        return jnp.zeros((batch_size, c.receptive_field), jnp.float32)
+    silence = jnp.full((batch_size, c.receptive_field - 1),
+                       c.quantization_channels // 2, jnp.int32)
+    first = jax.random.randint(jax.random.PRNGKey(seed), (batch_size,), 0,
+                               c.quantization_channels)
+    return jnp.concatenate([silence, first[:, None]], axis=1)
+
+
 def _sampler_kernel(
     # scalar prefetch
     seed_ref,            # [1] int32
@@ -499,21 +520,10 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
 
     # In scalar-input mode seed_codes are raw AMPLITUDES [B, T] f32 and
     # the unseeded start is silence (0.0); in mu-law mode they are int
-    # classes and silence is Q//2. The unseeded recipe matches
-    # sample.generate (and the reference, generate.py ≈:170): prime
-    # receptive_field-1 silence steps, then one uniform-random first code
-    # — so --sampler auto does not change the initial transient depending
-    # on which path compiles (only the PRNG stream differs, as documented).
+    # classes and silence is Q//2 (see unseeded_seed_codes).
     fdtype = jnp.float32 if c.scalar_input else jnp.int32
     if seed_codes is None:
-        if c.scalar_input:
-            seed_codes = jnp.zeros((B, c.receptive_field), jnp.float32)
-        else:
-            silence = jnp.full((B, c.receptive_field - 1),
-                               c.quantization_channels // 2, jnp.int32)
-            first = jax.random.randint(
-                jax.random.PRNGKey(seed), (B,), 0, c.quantization_channels)
-            seed_codes = jnp.concatenate([silence, first[:, None]], axis=1)
+        seed_codes = unseeded_seed_codes(c, B, seed)
     n_forced = int(seed_codes.shape[1])
     n_total = n_forced - 1 + n_samples
 
@@ -1348,16 +1358,7 @@ def generate_pallas_resumable(params: Params, config: WaveNetConfig,
 
     if carry is None:
         if seed_codes is None:
-            if c.scalar_input:
-                seed_codes = jnp.zeros((B, c.receptive_field), jnp.float32)
-            else:
-                silence = jnp.full((B, c.receptive_field - 1),
-                                   c.quantization_channels // 2, jnp.int32)
-                first = jax.random.randint(
-                    jax.random.PRNGKey(seed), (B,), 0,
-                    c.quantization_channels)
-                seed_codes = jnp.concatenate([silence, first[:, None]],
-                                             axis=1)
+            seed_codes = unseeded_seed_codes(c, B, seed)
         if prefill:
             # Parallel priming, then decode as a continuation segment.
             carry = prefill_carry(params, c, seed_codes.astype(fdtype),
