@@ -22,8 +22,12 @@ from wavenet_tpu.models.wavenet import (
     one_hot,
     predict_proba,
 )
-from wavenet_tpu.kernels.sampler import generate_pallas
-from wavenet_tpu.sample import generate, generate_sharded
+from wavenet_tpu.kernels.sampler import (
+    generate_pallas,
+    generate_pallas_resumable,
+    prefill_carry,
+)
+from wavenet_tpu.sample import generate, generate_sharded, prefill_state
 from wavenet_tpu.score import log_likelihood
 from wavenet_tpu.ops.conv import (
     batch_to_time,
