@@ -27,8 +27,14 @@ from wavenet_tpu.kernels.sampler import (
     generate_pallas_resumable,
     prefill_carry,
 )
-from wavenet_tpu.sample import generate, generate_sharded, prefill_state
+from wavenet_tpu.sample import (
+    extend_state,
+    generate,
+    generate_sharded,
+    prefill_state,
+)
 from wavenet_tpu.score import log_likelihood
+from wavenet_tpu.speculative import generate_speculative
 from wavenet_tpu.ops.conv import (
     batch_to_time,
     causal_conv,

@@ -55,6 +55,18 @@ def get_arguments(argv=None):
                         help="Fast-path implementation: the fused Pallas "
                              "VMEM kernel, the lax.scan sampler, or auto "
                              "(pallas when the working set fits VMEM).")
+    parser.add_argument("--draft_checkpoint", type=str, default=None,
+                        help="Checkpoint dir of a DRAFT model: enables "
+                             "speculative decoding (draft proposes "
+                             "--speculative_k samples, the target model "
+                             "verifies them in one parallel pass; output "
+                             "distribution is exactly the target's). "
+                             "Batch size 1, mu-law models only.")
+    parser.add_argument("--draft_wavenet_params", type=str, default=None,
+                        help="Model params JSON for --draft_checkpoint "
+                             "(defaults to --wavenet_params).")
+    parser.add_argument("--speculative_k", type=int, default=8,
+                        help="Draft proposals per verify pass.")
     parser.add_argument("--wav_seed", type=str, default=None)
     parser.add_argument("--batch_size", type=int, default=1,
                         help="Generate this many waveforms at once "
@@ -148,7 +160,10 @@ def main(argv=None):
 
     key = jax.random.PRNGKey(args.seed if args.seed is not None else 0)
 
-    if args.fast_generation and args.save_every:
+    if args.draft_checkpoint:
+        codes = _generate_speculative(params, config, args, key, gc_ids,
+                                      seed_codes)
+    elif args.fast_generation and args.save_every:
         codes = _generate_fast_chunked(params, config, args, key, gc_ids,
                                        seed_codes, wavenet_params)
     elif args.fast_generation:
@@ -184,6 +199,42 @@ def main(argv=None):
                 print(f"Updated wav file at {path}")
     print("Finished generating.")
     return 0
+
+
+def _generate_speculative(params, config, args, key, gc_ids, seed_codes):
+    """Speculative decoding: a draft checkpoint proposes, the target
+    verifies (wavenet_tpu/speculative.py). Target-exact distribution."""
+    import json as _json
+
+    from wavenet_tpu.models.config import WaveNetConfig
+    from wavenet_tpu.models.wavenet import init_params
+    from wavenet_tpu.speculative import generate_speculative
+    from wavenet_tpu.train_lib import restore_params_only
+
+    if args.batch_size != 1:
+        raise ValueError("speculative decoding runs at batch size 1")
+    dp_path = args.draft_wavenet_params or args.wavenet_params
+    with open(dp_path) as f:
+        draft_json = _json.load(f)
+    draft_config = WaveNetConfig.from_json(
+        draft_json, gc_channels=args.gc_channels,
+        gc_cardinality=args.gc_cardinality)
+    template = init_params(jax.random.PRNGKey(0), draft_config)
+    draft_params = restore_params_only(args.draft_checkpoint, template)
+    if draft_params is None:
+        raise FileNotFoundError(
+            f"No draft checkpoint in {args.draft_checkpoint}")
+    print(f"Restoring draft model from {args.draft_checkpoint}")
+
+    codes, (n_seg, n_acc, n_out) = generate_speculative(
+        params, config, draft_params, draft_config, args.samples, key,
+        k=args.speculative_k, temperature=args.temperature,
+        gc_ids=gc_ids, draft_gc_ids=gc_ids, seed_codes=seed_codes,
+        return_stats=True)
+    rate = n_acc / max(1, n_seg * args.speculative_k)
+    print(f"Speculative decode: {n_seg} segments, draft acceptance "
+          f"{100 * rate:.1f}%, {n_out / max(1, n_seg):.2f} samples/pass.")
+    return codes
 
 
 def _generate_fast(params, config, args, key, gc_ids, seed_codes):

@@ -240,6 +240,149 @@ def prefill_state(params: Params, config: WaveNetConfig,
                         layer_bufs=layer_bufs)
 
 
+def extend_state(params: Params, config: WaveNetConfig,
+                 state: SamplerState, codes: jnp.ndarray,
+                 gc_embedding: Optional[jnp.ndarray] = None,
+                 valid_len: Optional[jnp.ndarray] = None):
+    """Advance the sampler state by up to k teacher-forced steps in ONE
+    parallel pass: (logits [B, k, Q], new_state).
+
+    ``codes`` [B, k] (int mu-law classes, or f32 amplitudes in scalar
+    mode) are consumed at absolute positions t .. t+k-1; logits[:, j]
+    predicts position t+j+1 — exactly what k calls of ``sampler_step``
+    would produce, but MXU-parallel over the k positions (each layer's
+    left context comes from the ring buffers, so no recompute and no
+    sequential dependence inside the window). This is the incremental
+    form of ``prefill_state`` and the verifier primitive for
+    speculative decoding (``generate_speculative``).
+
+    ``valid_len`` (traced scalar, 0 <= v <= k, default k) commits the
+    state as if only the FIRST v inputs had been consumed — logits are
+    still returned for all k positions. This is the rollback-free
+    partial-acceptance commit: each ring row is written with the value
+    it must hold after v steps (a dynamic gather over
+    [old ring | window] — rows whose content predates the window get
+    their old value rewritten, a semantic no-op), the causal shift
+    register is a dynamic slice at v, and t advances by v.
+    """
+    logits, parts = _extend_forward(params, config, state, codes,
+                                    gc_embedding)
+    v = jnp.int32(codes.shape[1]) if valid_len is None \
+        else jnp.int32(valid_len)
+    return logits, _extend_commit(config, state, parts, v)
+
+
+def _extend_forward(params: Params, config: WaveNetConfig,
+                    state: SamplerState, codes: jnp.ndarray,
+                    gc_embedding: Optional[jnp.ndarray]):
+    """Stack pass of ``extend_state``: (logits [B, k, Q], parts).
+
+    ``parts`` carries the per-layer time-extended windows
+    (``[old ring | window inputs]``) plus the featurized input window —
+    everything ``_extend_commit`` needs to write the state for ANY
+    valid length without re-running the stack (speculative decoding
+    computes the accepted length FROM these logits).
+    """
+    c = config
+    B, k = codes.shape
+    L, R, D, S, Q = (c.num_layers, c.residual_channels, c.dilation_channels,
+                     c.skip_channels, c.quantization_channels)
+    kw = _input_kernel_width(c)
+    prec = lax.Precision.HIGHEST
+    t = state.t
+
+    x = _featurize(codes, c)                       # [B, k, C_in]
+    full_in = jnp.concatenate([state.causal_buf, x], axis=1)
+    # full_in column j holds the features of position t - (kw-1) + j.
+    # Causal conv: current[j] = sum_tap full_in[j + tap] @ w[tap].
+    w = params["causal_filter"]                    # [kw, C_in, R]
+    cur = sum(jnp.einsum("bkc,cr->bkr", full_in[:, tap:tap + k], w[tap],
+                         precision=prec)
+              for tap in range(kw))                # [B, k, R]
+
+    layer_bufs = state.layer_bufs
+    gate_outs = []
+    arrs = []
+    for l, d in enumerate(c.dilations):
+        # Ring rows in TIME order: ordered[i] = x_l(t - d + i).
+        idx = lax.rem(t + jnp.arange(d, dtype=jnp.int32), jnp.int32(d))
+        ordered = jnp.take(layer_bufs[l, :d], idx, axis=0)  # [d, B, R]
+        # arr column i holds x_l at time t - d + i (ring, then window).
+        arr = jnp.concatenate([jnp.moveaxis(ordered, 0, 1), cur], axis=1)
+        arrs.append(arr)
+        past = arr[:, :k]                          # times t-d .. t-d+k-1
+
+        conv_f = (jnp.einsum("bkr,rd->bkd", past, params["filter"][l][0],
+                             precision=prec)
+                  + jnp.einsum("bkr,rd->bkd", cur, params["filter"][l][1],
+                               precision=prec))
+        conv_g = (jnp.einsum("bkr,rd->bkd", past, params["gate"][l][0],
+                             precision=prec)
+                  + jnp.einsum("bkr,rd->bkd", cur, params["gate"][l][1],
+                               precision=prec))
+        if gc_embedding is not None:
+            conv_f = conv_f + (gc_embedding @ params["gc_filter"][l])[:, None]
+            conv_g = conv_g + (gc_embedding @ params["gc_gate"][l])[:, None]
+        if c.use_biases:
+            conv_f = conv_f + params["filter_bias"][l]
+            conv_g = conv_g + params["gate_bias"][l]
+        out = jnp.tanh(conv_f) * jax.nn.sigmoid(conv_g)
+        gate_outs.append(out)
+
+        transformed = jnp.einsum("bkd,dr->bkr", out, params["dense"][l],
+                                 precision=prec)
+        if c.use_biases:
+            transformed = transformed + params["dense_bias"][l]
+        cur = cur + transformed
+
+    all_outs = jnp.concatenate(gate_outs, axis=-1)  # [B, k, L*D]
+    h = jnp.einsum("bkc,co->bko", all_outs,
+                   params["skip"].reshape(L * D, S), precision=prec)
+    if c.use_biases:
+        h = h + jnp.sum(params["skip_bias"], axis=0)
+    h = jax.nn.relu(h)
+    h = jnp.einsum("bks,so->bko", h, params["postprocess1"], precision=prec)
+    if c.use_biases:
+        h = h + params["postprocess1_bias"]
+    h = jax.nn.relu(h)
+    h = jnp.einsum("bks,so->bko", h, params["postprocess2"], precision=prec)
+    if c.use_biases:
+        h = h + params["postprocess2_bias"]
+    return h.astype(jnp.float32), (full_in, arrs)
+
+
+def _extend_commit(config: WaveNetConfig, state: SamplerState, parts,
+                   v) -> SamplerState:
+    """Write the post-extend state for a dynamic valid length v."""
+    c = config
+    full_in, arrs = parts
+    B = full_in.shape[0]
+    kw = _input_kernel_width(c)
+    t = state.t
+    v = jnp.int32(v)
+
+    # After v consumed steps the register must hold positions
+    # t+v-(kw-1) .. t+v-1 = full_in columns v .. v+kw-2.
+    new_causal = lax.dynamic_slice(
+        full_in, (0, v, 0), (B, kw - 1, c.input_channels))
+
+    new_bufs = state.layer_bufs
+    for l, d in enumerate(c.dilations):
+        # Commit: after v consumed steps, row r must hold x_l(tau_r),
+        # tau_r = largest time < t+v congruent to r (mod d) within the
+        # last d steps = t+v-d + ((r - (t+v)) mod d) — i.e. arr column
+        # v + ((r - (t+v)) mod d). Rows whose tau_r predates the window
+        # gather their OLD value from the ring part of arr (no-op).
+        r_ids = jnp.arange(d, dtype=jnp.int32)
+        dd = jnp.int32(d)
+        cols = v + lax.rem(lax.rem(r_ids - t - v, dd) + dd, dd)
+        vals = jnp.take(arrs[l], cols, axis=1)     # [B, d, R]
+        new_bufs = new_bufs.at[l, :d].set(jnp.moveaxis(vals, 0, 1))
+
+    return SamplerState(t=t + v, causal_buf=new_causal,
+                        layer_bufs=new_bufs)
+
+
 @partial(jax.jit, static_argnames=("config", "n_samples"),
          donate_argnames=("state",))
 def generate_codes_resumable(params: Params, config: WaveNetConfig,
