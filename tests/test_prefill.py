@@ -180,6 +180,39 @@ def test_sampler_attempts_prefer_prefill(monkeypatch):
         assert kw.get("prefill") is True
 
 
+def test_prefill_batch_cap_is_fallback_friendly(monkeypatch):
+    """b > 128 cannot ride the 128-lane streamed decode: the prefill
+    path must raise NotImplementedError (which the ordered fallback
+    forgives) and sampler_attempts must not list it."""
+    from wavenet_tpu import sampler_select
+    from wavenet_tpu.models.wavenet import init_params
+
+    cfg = small_config()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(NotImplementedError):
+        generate_pallas(params, cfg, n_samples=4, seed=0, batch_size=256,
+                        prefill=True, interpret=True)
+    assert sampler_select.is_compile_failure(NotImplementedError("x"))
+
+    class FakeDev:
+        platform = "tpu"
+
+    monkeypatch.setattr(sampler_select.jax, "devices", lambda: [FakeDev()])
+    names = [n for n, _ in sampler_select.sampler_attempts(cfg, 256, 1000)]
+    assert not any("prefill" in n for n in names)
+
+
+def test_extend_state_rejects_wide_filters(rng):
+    from wavenet_tpu.models.wavenet import init_params
+    from wavenet_tpu.sample import extend_state, init_sampler_state
+
+    cfg = small_config(filter_width=3)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(NotImplementedError):
+        extend_state(params, cfg, init_sampler_state(cfg, 1),
+                     jnp.zeros((1, 4), jnp.int32))
+
+
 def test_resumable_prefill_segments_are_one_run(rng):
     """Prefill first segment + resumed continuation == one prefill run."""
     cfg = small_config()

@@ -140,6 +140,25 @@ def test_temperature_and_gc(rng):
     assert codes.min() >= 0 and codes.max() < cfg.quantization_channels
 
 
+def test_cli_save_every_conflict(tmp_path):
+    from wavenet_tpu.cli.generate import main as gen_main
+    with pytest.raises(ValueError, match="save_every"):
+        gen_main(["/nonexistent", "--draft_checkpoint=/nonexistent",
+                  "--save_every=10", "--samples=20",
+                  f"--wavenet_params={_tiny_params_json(tmp_path)}"])
+
+
+def _tiny_params_json(tmp_path):
+    import json
+    pj = dict(filter_width=2, sample_rate=2000, dilations=[1, 2],
+              residual_channels=4, dilation_channels=4, skip_channels=8,
+              quantization_channels=16, use_biases=True,
+              scalar_input=False, initial_filter_width=2)
+    p = tmp_path / "p.json"
+    p.write_text(json.dumps(pj))
+    return p
+
+
 def test_scalar_input_rejected():
     cfg = target_config(scalar_input=True, initial_filter_width=2)
     params = init_params(jax.random.PRNGKey(0), cfg)

@@ -105,6 +105,12 @@ def create_seed(filename, sample_rate, quantization_channels, window_size,
 
 def main(argv=None):
     args = get_arguments(argv)
+    if args.draft_checkpoint and args.save_every:
+        # Fail loudly instead of silently skipping the partial dumps the
+        # user asked for.
+        raise ValueError("--save_every is not supported with "
+                         "--draft_checkpoint (speculative decoding runs "
+                         "as one program); drop one of the two")
 
     from wavenet_tpu.cli.train import enable_compilation_cache
     enable_compilation_cache(args.compilation_cache)

@@ -514,6 +514,20 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
     if c.filter_width != 2:
         raise NotImplementedError("Pallas sampler requires filter_width=2")
     B = batch_size
+    if prefill:
+        if B > 128:
+            # The streamed decode packs the batch into the 128-lane
+            # forced/codes records. NotImplementedError so the ordered
+            # fallback (sampler_select.is_compile_failure) moves on to
+            # the chunked/scan samplers instead of aborting.
+            raise NotImplementedError(
+                "prefill + streamed decode supports batch_size <= 128; "
+                f"got {B}")
+        if batch_chunk:
+            raise ValueError("batch_chunk does not apply to the prefill "
+                             "path (single streamed-decode program)")
+        # state_dtype is ignored: the streamed kernel's HBM ring is f32
+        # by construction (weight_dtype still applies).
 
     gc_emb = embed_gc(params, c, gc_ids) if gc_ids is not None else None
     packed = pack_sampler_weights(params, c, B, gc_emb, weight_dtype)
@@ -1282,16 +1296,10 @@ def _prefill_state(params: Params, config: WaveNetConfig,
 
     # Ring row offsets[l] + tau % d must hold x_l(tau) for the last
     # min(d, T_pre) positions tau < T_pre (untouched rows stay zero, as
-    # after sequential priming). Per layer: left-pad the kept window to
-    # d rows, then roll by T_pre % d so window row j (time
-    # tau = T_pre - d + j) lands on row tau % d.
-    blocks = []
-    for l, d in enumerate(c.dilations):
-        w = jnp.moveaxis(layer_ins[l], 1, 0)          # [keep_l, B, R]
-        if keep[l] < d:
-            w = jnp.concatenate(
-                [jnp.zeros((d - keep[l], B, R), jnp.float32), w], axis=0)
-        blocks.append(jnp.roll(w, T_pre % d, axis=0))
+    # after sequential priming). Slot math shared with the scan-state
+    # prefill: sample.ring_slot_blocks.
+    from wavenet_tpu.sample import ring_slot_blocks
+    blocks = ring_slot_blocks(layer_ins, c.dilations, T_pre)
     ring_small = jnp.concatenate(blocks, axis=0)      # [sum_d, B, R]
     ring = jnp.zeros((sum_d, B, 128), jnp.float32)
     ring = ring.at[:, :, 0:R].set(ring_small)

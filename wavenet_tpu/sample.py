@@ -68,11 +68,15 @@ def init_sampler_state(config: WaveNetConfig, batch_size: int) -> SamplerState:
 
 def sampler_step(params: Params, config: WaveNetConfig, state: SamplerState,
                  x: jnp.ndarray,
-                 gc_embedding: Optional[jnp.ndarray] = None):
+                 gc_embedding: Optional[jnp.ndarray] = None,
+                 collect_layer_inputs: bool = False):
     """One incremental network evaluation.
 
     ``x``: current input features [B, C_in] (one-hot mu-law, or amplitude
-    [B, 1] in scalar mode). Returns (new_state, logits [B, Q]).
+    [B, 1] in scalar mode). Returns (new_state, logits [B, Q]) — plus a
+    stacked [L, B, R] of each layer's input (the residual stream) when
+    ``collect_layer_inputs`` is set (speculative decoding commits the
+    draft state from these without a second stack pass).
 
     Mirrors the reference's ``_generator_dilation_layer`` math
     (model.py ≈:365-430): every conv collapses to matmuls on the current
@@ -94,7 +98,10 @@ def sampler_step(params: Params, config: WaveNetConfig, state: SamplerState,
     t = state.t
     layer_bufs = state.layer_bufs
     skip_sum = None
+    layer_inputs = []
     for i, dilation in enumerate(c.dilations):
+        if collect_layer_inputs:
+            layer_inputs.append(current)
         pos = lax.rem(t, jnp.int32(dilation))
         past = lax.dynamic_slice(
             layer_bufs, (i, pos, 0, 0),
@@ -134,6 +141,8 @@ def sampler_step(params: Params, config: WaveNetConfig, state: SamplerState,
 
     new_state = SamplerState(t=t + 1, causal_buf=new_causal_buf,
                              layer_bufs=layer_bufs)
+    if collect_layer_inputs:
+        return new_state, h.astype(jnp.float32), jnp.stack(layer_inputs)
     return new_state, h.astype(jnp.float32)
 
 
@@ -177,6 +186,30 @@ def prime_state(params: Params, config: WaveNetConfig, state: SamplerState,
     return state
 
 
+def ring_slot_blocks(layer_ins, dilations, T: int):
+    """Per-layer ring-slot blocks for prefill: block_l[r] = x_l(tau_r).
+
+    ``layer_ins[l]`` is [B, keep_l, R] — the last keep_l = min(d_l, T)
+    residual-stream values entering layer l. Slot tau % d_l must hold
+    x_l(tau) for the last keep_l positions tau < T and stay zero
+    elsewhere (exactly the state sequential priming leaves): left-pad
+    the kept window to d rows, then roll by T % d so window row j (time
+    tau = T - d + j) lands on row tau % d. Shared by the scan-state
+    prefill below and the Pallas stream-kernel prefill
+    (kernels/sampler.prefill_carry) — one copy of the slot math.
+    """
+    blocks = []
+    for l, d in enumerate(dilations):
+        w = jnp.moveaxis(layer_ins[l], 1, 0)          # [keep_l, B, R]
+        keep = w.shape[0]
+        if keep < d:
+            w = jnp.concatenate(
+                [jnp.zeros((d - keep,) + w.shape[1:], jnp.float32), w],
+                axis=0)
+        blocks.append(jnp.roll(w, T % d, axis=0))     # [d, B, R]
+    return blocks
+
+
 @partial(jax.jit, static_argnames=("config",))
 def prefill_state(params: Params, config: WaveNetConfig,
                   waveform: jnp.ndarray,
@@ -216,12 +249,8 @@ def prefill_state(params: Params, config: WaveNetConfig,
     # Slot tau % d_l holds x_l(tau) for the last min(d_l, T) positions;
     # unwritten slots (and slots >= d_l) stay zero, as in init state.
     blocks = []
-    for l, d in enumerate(c.dilations):
-        w = jnp.moveaxis(layer_ins[l], 1, 0)          # [keep_l, B, R]
-        if keep[l] < d:
-            w = jnp.concatenate(
-                [jnp.zeros((d - keep[l], B, R), jnp.float32), w], axis=0)
-        w = jnp.roll(w, T % d, axis=0)
+    for d, w in zip(c.dilations, ring_slot_blocks(layer_ins,
+                                                  c.dilations, T)):
         if d < max_d:
             w = jnp.concatenate(
                 [w, jnp.zeros((max_d - d, B, R), jnp.float32)], axis=0)
@@ -272,6 +301,12 @@ def extend_state(params: Params, config: WaveNetConfig,
     return logits, _extend_commit(config, state, parts, v)
 
 
+def _ordered_ring(layer_bufs: jnp.ndarray, l: int, d: int, t):
+    """Layer l's ring rows in TIME order: out[i] = x_l(t - d + i)."""
+    idx = lax.rem(t + jnp.arange(d, dtype=jnp.int32), jnp.int32(d))
+    return jnp.take(layer_bufs[l, :d], idx, axis=0)   # [d, B, R]
+
+
 def _extend_forward(params: Params, config: WaveNetConfig,
                     state: SamplerState, codes: jnp.ndarray,
                     gc_embedding: Optional[jnp.ndarray]):
@@ -284,6 +319,11 @@ def _extend_forward(params: Params, config: WaveNetConfig,
     computes the accepted length FROM these logits).
     """
     c = config
+    if c.filter_width != 2:
+        raise NotImplementedError(
+            "extend_state requires filter_width=2 (same restriction as "
+            "every incremental path; the dilated taps are hardcoded "
+            "to past|current)")
     B, k = codes.shape
     L, R, D, S, Q = (c.num_layers, c.residual_channels, c.dilation_channels,
                      c.skip_channels, c.quantization_channels)
@@ -304,9 +344,7 @@ def _extend_forward(params: Params, config: WaveNetConfig,
     gate_outs = []
     arrs = []
     for l, d in enumerate(c.dilations):
-        # Ring rows in TIME order: ordered[i] = x_l(t - d + i).
-        idx = lax.rem(t + jnp.arange(d, dtype=jnp.int32), jnp.int32(d))
-        ordered = jnp.take(layer_bufs[l, :d], idx, axis=0)  # [d, B, R]
+        ordered = _ordered_ring(layer_bufs, l, d, t)        # [d, B, R]
         # arr column i holds x_l at time t - d + i (ring, then window).
         arr = jnp.concatenate([jnp.moveaxis(ordered, 0, 1), cur], axis=1)
         arrs.append(arr)
@@ -495,15 +533,17 @@ def generate(params: Params, config: WaveNetConfig, n_samples: int,
     c = config
     gc_emb = embed_gc(params, c, gc_ids) if gc_ids is not None else None
 
+    # One key discipline for every mode (scalar/seeded included) so
+    # generate_sharded can reproduce the exact draws for parity.
+    key_first, key_gen = jax.random.split(key)
+
     if c.scalar_input and seed_codes is not None:
         # In scalar mode the seed is raw amplitudes [B, T]; prime with the
         # amplitudes, then continue from the decoded last sample.
         state = prefill_state(params, c, seed_codes[:, :-1], gc_emb)
         first_input = seed_codes[:, -1][..., None].astype(jnp.float32)
         return generate_codes(params, c, state, first_input, n_samples,
-                              key, temperature, gc_emb)
-
-    key_first, key_gen = jax.random.split(key)
+                              key_gen, temperature, gc_emb)
     if seed_codes is None:
         if c.scalar_input:
             silence = jnp.zeros((batch_size, c.receptive_field - 1),

@@ -44,18 +44,18 @@ from wavenet_tpu.models.config import WaveNetConfig
 from wavenet_tpu.models.wavenet import Params, embed_gc
 from wavenet_tpu.sample import (
     SamplerState, _extend_commit, _extend_forward, _featurize,
-    prefill_state, sampler_step)
+    _ordered_ring, prefill_state, sampler_step)
 
 
 @partial(jax.jit,
          static_argnames=("config", "draft_config", "n_samples", "k",
-                          "temperature", "collect_stats"))
+                          "temperature"))
 def _speculative_loop(params: Params, config: WaveNetConfig,
                       draft_params: Params, draft_config: WaveNetConfig,
                       t_state: SamplerState, d_state: SamplerState,
                       last: jnp.ndarray, key: jax.Array,
                       n_samples: int, k: int, temperature: float,
-                      gc_emb_t, gc_emb_d, collect_stats: bool = False):
+                      gc_emb_t, gc_emb_d):
     """The whole speculative decode as one program. ``last`` [1] int32."""
     c, dc = config, draft_config
     Q = c.quantization_channels
@@ -66,21 +66,26 @@ def _speculative_loop(params: Params, config: WaveNetConfig,
         out, n_out, t_st, d_st, last, key, n_seg, n_acc = carry
         key, k_draft, k_u, k_res = jax.random.split(key, 4)
 
-        # 1. Draft proposes k samples sequentially (throwaway state —
-        #    the committed draft state advances via the window commit).
+        # 1. Draft proposes sequentially: k+1 steps consuming exactly
+        #    [last, c_0 .. c_{k-1}] (the final proposal is discarded),
+        #    collecting each step's per-layer inputs so the draft's
+        #    partial-acceptance commit needs NO second stack pass —
+        #    those inputs ARE the window columns _extend_commit gathers.
         def dbody(c2, key_j):
             dst, xf = c2
-            dst, logits = sampler_step(draft_params, dc, dst, xf, gc_emb_d)
+            dst, logits, xs = sampler_step(draft_params, dc, dst, xf,
+                                           gc_emb_d,
+                                           collect_layer_inputs=True)
             probs = jax.nn.softmax(logits * inv_t, axis=-1)     # [1, Q]
             code = jax.random.categorical(key_j, logits * inv_t,
                                           axis=-1)              # [1]
-            return (dst, _featurize(code, dc)), (code, probs)
+            return (dst, _featurize(code, dc)), (code, probs, xs)
 
-        (_, _), (cs, pds) = lax.scan(
+        (_, _), (cs_all, pds_all, xs_all) = lax.scan(
             dbody, (d_st, _featurize(last, dc)),
-            jax.random.split(k_draft, k))
-        cs = jnp.transpose(cs)                                  # [1, k]
-        pds = pds[:, 0]                                         # [k, Q]
+            jax.random.split(k_draft, k + 1))
+        cs = jnp.transpose(cs_all[:k])                          # [1, k]
+        pds = pds_all[:k, 0]                                    # [k, Q]
 
         # 2. Target verifies proposals + the bonus position in ONE pass.
         inputs = jnp.concatenate([last[:, None], cs], axis=1)   # [1, k+1]
@@ -109,12 +114,19 @@ def _speculative_loop(params: Params, config: WaveNetConfig,
         c_prime = c_prime.astype(jnp.int32)[None]               # [1]
 
         # 4. Commit both models for the accepted length (m+1 inputs:
-        #    last + the m accepted proposals).
+        #    last + the m accepted proposals). Draft commit parts come
+        #    from the scan: window column j of layer l = xs_all[j, l].
         v = m + 1
         t_st = _extend_commit(c, t_st, parts_t, v)
-        _, parts_d = _extend_forward(draft_params, dc, d_st, inputs,
-                                     gc_emb_d)
-        d_st = _extend_commit(dc, d_st, parts_d, v)
+        full_in_d = jnp.concatenate(
+            [d_st.causal_buf, _featurize(inputs, dc)], axis=1)
+        arrs_d = []
+        for l, d in enumerate(dc.dilations):
+            ordered = _ordered_ring(d_st.layer_bufs, l, d, d_st.t)
+            win = jnp.moveaxis(xs_all[:, l], 0, 1)      # [1, k+1, R]
+            arrs_d.append(jnp.concatenate(
+                [jnp.moveaxis(ordered, 0, 1), win], axis=1))
+        d_st = _extend_commit(dc, d_st, (full_in_d, arrs_d), v)
 
         # 5. Emit m accepted + 1 corrected/bonus sample.
         padded = jnp.concatenate([cs0, c_prime])                # [k+1]
