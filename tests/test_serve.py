@@ -82,3 +82,29 @@ def test_generate_bad_request(server):
     assert "error" in json.loads(body)
     status, _, _ = _post(server + "/nope", {})
     assert status == 404
+
+
+def test_speculative_service(tmp_path):
+    """A draft checkpoint switches the service to speculative decoding
+    (draft == target here); /generate output stays well-formed."""
+    from wavenet_tpu.models.config import WaveNetConfig
+    from wavenet_tpu.serve import GenerationService
+    from wavenet_tpu.train_lib import (
+        create_train_state, make_optimizer, save_checkpoint)
+
+    cfg = WaveNetConfig(dilations=(1, 2, 4), residual_channels=4,
+                        dilation_channels=4, skip_channels=8,
+                        quantization_channels=32, sample_rate=2000)
+    params_path = tmp_path / "params.json"
+    params_path.write_text(json.dumps(cfg.to_json_dict()))
+    state = create_train_state(jax.random.PRNGKey(0), cfg,
+                               make_optimizer("adam", 1e-3))
+    save_checkpoint(str(tmp_path / "ckpt"), state)
+
+    service = GenerationService(
+        str(tmp_path / "ckpt"), str(params_path), warm_samples=8,
+        draft_checkpoint=str(tmp_path / "ckpt"), speculative_k=3)
+    assert service.sampler_name.startswith("speculative")
+    wave = service.generate(20, seed=4)
+    assert wave.shape == (20,)
+    assert np.all(np.abs(wave) <= 1.0)

@@ -39,7 +39,10 @@ class GenerationService:
     def __init__(self, checkpoint: str, wavenet_params: str,
                  gc_channels: Optional[int] = None,
                  gc_cardinality: Optional[int] = None,
-                 sampler: str = "auto", warm_samples: int = 256):
+                 sampler: str = "auto", warm_samples: int = 256,
+                 draft_checkpoint: Optional[str] = None,
+                 draft_wavenet_params: Optional[str] = None,
+                 speculative_k: int = 8):
         from wavenet_tpu.models.config import WaveNetConfig
         from wavenet_tpu.models.wavenet import init_params
         from wavenet_tpu.train_lib import restore_params_only
@@ -55,6 +58,26 @@ class GenerationService:
             raise FileNotFoundError(f"no checkpoint in {checkpoint}")
         self.params = params
         self._lock = threading.Lock()
+
+        # Optional speculative decoding: a draft checkpoint turns every
+        # /generate into draft-propose / target-verify (target-exact
+        # distribution; see wavenet_tpu/speculative.py).
+        self.draft_params = None
+        self.draft_config = None
+        self.speculative_k = speculative_k
+        if draft_checkpoint:
+            with open(draft_wavenet_params or wavenet_params) as f:
+                draw = json.load(f)
+            self.draft_config = WaveNetConfig.from_json(
+                draw, gc_channels=gc_channels,
+                gc_cardinality=gc_cardinality)
+            dtemplate = init_params(jax.random.PRNGKey(0),
+                                    self.draft_config)
+            self.draft_params = restore_params_only(draft_checkpoint,
+                                                    dtemplate)
+            if self.draft_params is None:
+                raise FileNotFoundError(
+                    f"no draft checkpoint in {draft_checkpoint}")
 
         # Warmup picks the fastest variant that actually compiles (the
         # CLI's ordered fallback, wavenet_tpu/sampler_select.py) and
@@ -94,7 +117,18 @@ class GenerationService:
                   if gc_id is not None and self.config.gc_enabled else None)
         n_bucket = self.bucket_samples(n_samples)
         with self._lock:
-            if _select:
+            if self.draft_params is not None:
+                from wavenet_tpu.speculative import generate_speculative
+
+                codes = generate_speculative(
+                    self.params, self.config, self.draft_params,
+                    self.draft_config, n_bucket, jax.random.PRNGKey(seed),
+                    k=self.speculative_k, temperature=temperature,
+                    gc_ids=gc_ids, draft_gc_ids=gc_ids)
+                if _select:
+                    self.sampler_name = (
+                        f"speculative (k={self.speculative_k})")
+            elif _select:
                 codes, name, kw = generate_with_fallback(
                     self.params, self.config, n_bucket, seed=seed,
                     batch_size=1, gc_ids=gc_ids, temperature=temperature,
@@ -189,12 +223,20 @@ def main(argv=None):
     ap.add_argument("--gc_cardinality", type=int, default=None)
     ap.add_argument("--sampler", default="auto",
                     choices=["auto", "pallas", "scan"])
+    ap.add_argument("--draft_checkpoint", default=None,
+                    help="Draft model checkpoint: serve with speculative "
+                         "decoding (target-exact distribution).")
+    ap.add_argument("--draft_wavenet_params", default=None)
+    ap.add_argument("--speculative_k", type=int, default=8)
     args = ap.parse_args(argv)
 
     print("Loading + warming model...")
     service = GenerationService(args.checkpoint, args.wavenet_params,
                                 args.gc_channels, args.gc_cardinality,
-                                args.sampler)
+                                args.sampler,
+                                draft_checkpoint=args.draft_checkpoint,
+                                draft_wavenet_params=args.draft_wavenet_params,
+                                speculative_k=args.speculative_k)
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(service))
     print(f"Serving on http://{args.host}:{args.port} "
