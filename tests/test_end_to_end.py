@@ -116,3 +116,52 @@ def test_end_to_end_gc_steers_generation():
         peak_f = freqs[mask][np.argmax(spectrum[mask])]
         assert abs(peak_f - expected_f) < 25.0, (
             f"speaker {i}: expected ~{expected_f} Hz, got {peak_f} Hz")
+
+
+@pytest.mark.slow
+def test_end_to_end_speculative_acceptance():
+    """Speculation pays when the draft is ALIGNED with the target: a
+    lightly perturbed copy of the trained target reaches high
+    acceptance, and the speculative output carries the learned
+    spectrum.
+
+    (An independently trained smaller net does NOT work here — measured:
+    two sine-overfit models agree teacher-forced, expected acceptance
+    1−TV ≈ 0.66, but free-running they lock onto different
+    near-deterministic attractors and acceptance collapses to ~2%. A
+    production draft must be distilled from the target; the perturbed
+    copy stands in for that alignment.)"""
+    from wavenet_tpu.speculative import generate_speculative
+
+    audio, _ = make_sine_waves(False, n_seconds=0.5)
+    tcfg = small_cfg()
+    tstate, first, tloss = train(tcfg, audio, None, 220)
+    assert tloss < first
+
+    # Aligned draft: same architecture, slightly noised weights.
+    key = jax.random.PRNGKey(11)
+    dparams = {}
+    for name, leaf in tstate.params.items():
+        key, sub = jax.random.split(key)
+        dparams[name] = leaf + 0.01 * jnp.std(leaf) * jax.random.normal(
+            sub, leaf.shape)
+
+    from wavenet_tpu.audio import mu_law_encode
+    seed = mu_law_encode(jnp.asarray(audio[:1, :tcfg.receptive_field]),
+                         tcfg.quantization_channels)
+    n = 600
+    codes, (n_seg, n_acc, n_out) = generate_speculative(
+        tstate.params, tcfg, dparams, tcfg, n,
+        jax.random.PRNGKey(3), k=6, seed_codes=seed, return_stats=True)
+    acceptance = n_acc / (n_seg * 6)
+    samples_per_pass = n_out / n_seg
+    assert acceptance > 0.6, (acceptance, n_seg, n_acc)
+    assert samples_per_pass > 3.0
+
+    # Spectrum check: the generated audio's top FFT peaks sit near the
+    # training sinusoids (same assertion family as the GC e2e test).
+    wave = mu_law_decode_np(np.asarray(codes)[0], tcfg.quantization_channels)
+    spectrum = np.abs(np.fft.rfft(wave * np.hanning(len(wave))))
+    freqs = np.fft.rfftfreq(len(wave), 1.0 / SAMPLE_RATE_HZ)
+    peak = freqs[np.argmax(spectrum)]
+    assert any(abs(peak - f) < 25.0 for f in NOTES_HZ), peak

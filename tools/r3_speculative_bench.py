@@ -1,11 +1,15 @@
 """Speculative-decoding speedup on a trained model pair (TPU).
 
-Trains a target (16 layers) and a draft (6 layers) on the synthetic
-sine corpus (same distribution => high draft acceptance, the regime
-speculation is for), then measures b=1 samples/s: plain scan sampler vs
-speculative at several k, with acceptance stats.
+Trains a target (16 layers) on the synthetic sine corpus, then
+DISTILLS a draft (6 layers) on the target's own free-running samples —
+alignment with the target's generative distribution is what drives
+acceptance (measured: an independently sine-trained draft agrees with
+the target teacher-forced but diverges free-running, acceptance ~2%;
+see tests/test_end_to_end.py's speculative test). Then measures b=1
+samples/s: plain scan sampler vs speculative at several k, with
+acceptance stats.
 
-Run alone — one TPU process at a time. ~5 min including training.
+Run alone — one TPU process at a time. ~6 min including training.
 """
 
 from __future__ import annotations
@@ -39,16 +43,20 @@ def make_sines(n, t_len, rng):
     return np.stack(waves).astype(np.float32)
 
 
-def train(cfg, steps, rng, tag):
+def train_on(cfg, audio, steps, tag):
     opt = make_optimizer("adam", 2e-3)
     state = create_train_state(jax.random.PRNGKey(1), cfg, opt)
     step_fn = make_train_step(cfg, opt, None)
-    audio = jnp.asarray(make_sines(4, cfg.receptive_field + 4000, rng))
     for i in range(steps):
         state, metrics = step_fn(state, audio)
     loss = float(jax.device_get(metrics["loss"]))
     print(f"{tag}: trained {steps} steps, loss {loss:.3f}")
     return state.params
+
+
+def train(cfg, steps, rng, tag):
+    audio = jnp.asarray(make_sines(4, cfg.receptive_field + 4000, rng))
+    return train_on(cfg, audio, steps, tag)
 
 
 def timed(fn, reps=3):
@@ -76,13 +84,23 @@ def main():
         compute_dtype="bfloat16")
 
     tparams = train(tcfg, 300, rng, "target(16L)")
-    dparams = train(dcfg, 300, rng, "draft(6L)")
 
     n = 4000
     seed_wave = make_sines(1, tcfg.receptive_field, rng)
-    from wavenet_tpu.audio import mu_law_encode_np
+    from wavenet_tpu.audio import mu_law_decode_np, mu_law_encode_np
     seed = jnp.asarray(
         mu_law_encode_np(seed_wave[0], 256))[None, :]
+
+    # Distill the draft on the TARGET's free-running samples (alignment
+    # is what acceptance measures).
+    distill_codes = generate(tparams, tcfg, 4 * (tcfg.receptive_field
+                                                 + 4000),
+                             jax.random.PRNGKey(5), batch_size=1,
+                             seed_codes=seed)
+    distill_wave = mu_law_decode_np(
+        np.asarray(distill_codes)[0], 256).reshape(
+        4, tcfg.receptive_field + 4000)
+    dparams = train_on(dcfg, jnp.asarray(distill_wave), 300, "draft(6L)")
 
     dt = timed(lambda: generate(tparams, tcfg, n, jax.random.PRNGKey(2),
                                 batch_size=1, seed_codes=seed))
