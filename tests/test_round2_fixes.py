@@ -171,3 +171,39 @@ def test_nan_stop_skips_final_checkpoint(tmp_path, monkeypatch):
     # Stopped at the poisoned step 2 with NOTHING saved (the reference-era
     # behavior checkpointed the post-NaN state in the finally block).
     assert latest_checkpoint_step(logdir) is None
+
+
+def test_score_cli(tmp_path, capsys):
+    """python -m wavenet_tpu.score end to end: JSON line per wav."""
+    import json
+
+    import numpy as np
+    from scipy.io import wavfile
+
+    from wavenet_tpu.models.config import WaveNetConfig
+    from wavenet_tpu.score import main as score_main
+    from wavenet_tpu.train_lib import (
+        create_train_state, make_optimizer, save_checkpoint)
+
+    cfg = WaveNetConfig(dilations=(1, 2, 4), residual_channels=4,
+                        dilation_channels=4, skip_channels=8,
+                        quantization_channels=32, sample_rate=2000)
+    pfile = tmp_path / "params.json"
+    pfile.write_text(json.dumps(cfg.to_json_dict()))
+    state = create_train_state(jax.random.PRNGKey(0), cfg,
+                               make_optimizer("adam", 1e-3))
+    save_checkpoint(str(tmp_path / "ckpt"), state)
+
+    t = np.arange(400) / 2000.0
+    wav = (0.5 * np.sin(2 * np.pi * 200 * t) * 32767).astype(np.int16)
+    wpath = tmp_path / "a.wav"
+    wavfile.write(str(wpath), 2000, wav)
+
+    rc = score_main([str(tmp_path / "ckpt"), str(wpath),
+                     f"--wavenet_params={pfile}"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["samples"] == 400
+    assert out["bits_per_sample"] > 0
+    # Untrained model ~ uniform over Q=32 -> ~5 bits/sample.
+    assert 3.0 < out["bits_per_sample"] < 7.0

@@ -56,3 +56,62 @@ def log_likelihood(params: Params, config: WaveNetConfig,
     bits = -total / (per.shape[-1] * jnp.log(2.0))
     return {"logp_per_sample": per, "total_logp": total,
             "bits_per_sample": bits}
+
+
+def main(argv=None):
+    """Evaluation CLI: score wav files under a checkpoint.
+
+        python -m wavenet_tpu.score <ckpt_dir> file1.wav [file2.wav ...] \
+            --wavenet_params wavenet_params.json [--gc_id N] \
+            [--gc_channels C --gc_cardinality K]
+
+    Prints one JSON line per file: {"file", "samples", "total_logp",
+    "bits_per_sample", "nll_nats_per_sample"} — held-out likelihood is
+    the reference's loss metric, computed here at full forward speed.
+    """
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(
+        description="Score wav files under a WaveNet checkpoint")
+    ap.add_argument("checkpoint")
+    ap.add_argument("wavs", nargs="+")
+    ap.add_argument("--wavenet_params", default="./wavenet_params.json")
+    ap.add_argument("--gc_channels", type=int, default=None)
+    ap.add_argument("--gc_cardinality", type=int, default=None)
+    ap.add_argument("--gc_id", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from wavenet_tpu.audio import read_wav
+    from wavenet_tpu.models.wavenet import init_params
+    from wavenet_tpu.train_lib import restore_params_only
+
+    with open(args.wavenet_params) as f:
+        raw = json.load(f)
+    config = WaveNetConfig.from_json(raw, gc_channels=args.gc_channels,
+                                     gc_cardinality=args.gc_cardinality)
+    template = init_params(jax.random.PRNGKey(0), config)
+    params = restore_params_only(args.checkpoint, template)
+    if params is None:
+        raise FileNotFoundError(f"no checkpoint in {args.checkpoint}")
+    gc_ids = (jnp.asarray([args.gc_id], jnp.int32)
+              if args.gc_id is not None else None)
+
+    for path in args.wavs:
+        audio, _ = read_wav(path, raw["sample_rate"])
+        out = log_likelihood(params, config, jnp.asarray(audio)[None, :],
+                             gc_ids)
+        total = float(jax.device_get(out["total_logp"])[0])
+        bits = float(jax.device_get(out["bits_per_sample"])[0])
+        n = int(audio.shape[0])
+        print(json.dumps({
+            "file": path, "samples": n,
+            "total_logp": round(total, 3),
+            "bits_per_sample": round(bits, 5),
+            "nll_nats_per_sample": round(-total / max(1, n - 1), 5),
+        }))
+    return 0
+
+
+if __name__ == "__main__":
+    main()
