@@ -140,6 +140,38 @@ def test_temperature_and_gc(rng):
     assert codes.min() >= 0 and codes.max() < cfg.quantization_channels
 
 
+def test_batched_lanes_equal_solo_runs(rng):
+    """batch_size > 1 = vmapped independent per-stream loops: each lane
+    must emit exactly what its solo run emits."""
+    cfg = target_config()
+    dcfg = draft_config()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    dparams = init_params(jax.random.PRNGKey(5), dcfg)
+    B, n = 3, 15
+    seeds = jnp.asarray(rng.randint(0, cfg.quantization_channels,
+                                    (B, cfg.receptive_field)))
+    key = jax.random.PRNGKey(21)
+    batched = np.asarray(generate_speculative(
+        params, cfg, dparams, dcfg, n, key, k=4, seed_codes=seeds))
+    assert batched.shape == (B, n)
+    _, key_gen = jax.random.split(key)
+    lane_keys = jax.random.split(key_gen, B)
+    for i in range(B):
+        # Reproduce lane i's exact stream: single-row seed with the
+        # lane's key injected through the same split structure.
+        t0 = None
+        from wavenet_tpu.sample import prefill_state
+        from wavenet_tpu.speculative import _speculative_loop
+        st = prefill_state(params, cfg, seeds[i:i + 1, :-1])
+        dst = prefill_state(dparams, dcfg, seeds[i:i + 1, :-1])
+        solo, _, _, _ = _speculative_loop(
+            params, cfg, dparams, dcfg, st, dst,
+            seeds[i:i + 1, -1].astype(jnp.int32), lane_keys[i],
+            n, 4, 1.0, None, None)
+        np.testing.assert_array_equal(batched[i],
+                                      np.asarray(solo)[0, :n])
+
+
 def test_cli_save_every_conflict(tmp_path):
     from wavenet_tpu.cli.generate import main as gen_main
     with pytest.raises(ValueError, match="save_every"):

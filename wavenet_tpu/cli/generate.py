@@ -61,7 +61,8 @@ def get_arguments(argv=None):
                              "--speculative_k samples, the target model "
                              "verifies them in one parallel pass; output "
                              "distribution is exactly the target's). "
-                             "Batch size 1, mu-law models only.")
+                             "Mu-law models only; batches run as "
+                             "vmapped independent streams.")
     parser.add_argument("--draft_wavenet_params", type=str, default=None,
                         help="Model params JSON for --draft_checkpoint "
                              "(defaults to --wavenet_params).")
@@ -217,8 +218,6 @@ def _generate_speculative(params, config, args, key, gc_ids, seed_codes):
     from wavenet_tpu.speculative import generate_speculative
     from wavenet_tpu.train_lib import restore_params_only
 
-    if args.batch_size != 1:
-        raise ValueError("speculative decoding runs at batch size 1")
     dp_path = args.draft_wavenet_params or args.wavenet_params
     with open(dp_path) as f:
         draft_json = _json.load(f)
@@ -236,7 +235,7 @@ def _generate_speculative(params, config, args, key, gc_ids, seed_codes):
         params, config, draft_params, draft_config, args.samples, key,
         k=args.speculative_k, temperature=args.temperature,
         gc_ids=gc_ids, draft_gc_ids=gc_ids, seed_codes=seed_codes,
-        return_stats=True)
+        batch_size=args.batch_size, return_stats=True)
     rate = n_acc / max(1, n_seg * args.speculative_k)
     print(f"Speculative decode: {n_seg} segments, draft acceptance "
           f"{100 * rate:.1f}%, {n_out / max(1, n_seg):.2f} samples/pass.")

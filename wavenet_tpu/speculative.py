@@ -156,6 +156,7 @@ def generate_speculative(params: Params, config: WaveNetConfig,
                          gc_ids: Optional[jnp.ndarray] = None,
                          draft_gc_ids: Optional[jnp.ndarray] = None,
                          seed_codes: Optional[jnp.ndarray] = None,
+                         batch_size: int = 1,
                          return_stats: bool = False):
     """Generate ``n_samples`` mu-law codes [1, n] with speculative
     sampling — the output distribution is exactly the TARGET model's.
@@ -173,8 +174,11 @@ def generate_speculative(params: Params, config: WaveNetConfig,
     (n_segments, n_draft_accepted, n_emitted): mean accepted length
     = n_draft_accepted / n_segments (+1 emitted per segment).
 
-    Batch size 1 — the latency regime where speculation pays; at large
-    batch the plain samplers are already throughput-bound.
+    The per-segment math runs per stream; ``batch_size > 1`` (implied by
+    seed_codes' leading dim) vectorizes INDEPENDENT per-stream loops
+    with ``jax.vmap`` — lanes accept/reject on their own schedules and
+    each emits exactly what its solo run would (tested). Stats are
+    summed over lanes.
     """
     c, dc = config, draft_config
     if c.scalar_input or dc.scalar_input:
@@ -187,26 +191,40 @@ def generate_speculative(params: Params, config: WaveNetConfig,
 
     key_first, key_gen = jax.random.split(key)
     if seed_codes is None:
-        silence = jnp.full((1, c.receptive_field - 1),
+        silence = jnp.full((batch_size, c.receptive_field - 1),
                            c.quantization_channels // 2, jnp.int32)
-        first = jax.random.randint(key_first, (1,), 0,
+        first = jax.random.randint(key_first, (batch_size,), 0,
                                    c.quantization_channels)
         seed_codes = jnp.concatenate([silence, first[:, None]], axis=1)
-    if seed_codes.shape[0] != 1:
-        raise ValueError("speculative decoding runs at batch size 1")
+    B = seed_codes.shape[0]
 
     gc_emb_t = embed_gc(params, c, gc_ids) if gc_ids is not None else None
     gc_emb_d = (embed_gc(draft_params, dc, draft_gc_ids)
                 if draft_gc_ids is not None else None)
 
-    t_state = prefill_state(params, c, seed_codes[:, :-1], gc_emb_t)
-    d_state = prefill_state(draft_params, dc, seed_codes[:, :-1], gc_emb_d)
-    last = seed_codes[:, -1].astype(jnp.int32)
+    def one(seed_row, key_row, gce_t, gce_d):
+        t_state = prefill_state(params, c, seed_row[:, :-1], gce_t)
+        d_state = prefill_state(draft_params, dc, seed_row[:, :-1], gce_d)
+        last = seed_row[:, -1].astype(jnp.int32)
+        return _speculative_loop(
+            params, c, draft_params, dc, t_state, d_state, last, key_row,
+            n_samples, k, temperature, gce_t, gce_d)
 
-    codes, _, _, stats = _speculative_loop(
-        params, c, draft_params, dc, t_state, d_state, last, key_gen,
-        n_samples, k, temperature, gc_emb_t, gc_emb_d)
-    codes = codes[:, :n_samples]
+    if B == 1:
+        codes, _, _, stats = one(seed_codes, key_gen, gc_emb_t, gc_emb_d)
+        codes = codes[:, :n_samples]
+    else:
+        keys = jax.random.split(key_gen, B)
+        lanes = seed_codes[:, None, :]                 # [B, 1, T]
+        in_axes = (0, 0,
+                   0 if gc_emb_t is not None else None,
+                   0 if gc_emb_d is not None else None)
+        gce_t = gc_emb_t[:, None] if gc_emb_t is not None else None
+        gce_d = gc_emb_d[:, None] if gc_emb_d is not None else None
+        codes, _, _, stats = jax.vmap(one, in_axes=in_axes)(
+            lanes, keys, gce_t, gce_d)
+        codes = codes[:, 0, :n_samples]                # [B, n]
+        stats = tuple(jnp.sum(s) for s in stats)
     if return_stats:
         return codes, tuple(int(s) for s in jax.device_get(stats))
     return codes
