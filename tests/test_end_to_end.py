@@ -125,12 +125,12 @@ def test_end_to_end_speculative_acceptance():
     acceptance, and the speculative output carries the learned
     spectrum.
 
-    (An independently trained smaller net does NOT work here — measured:
-    two sine-overfit models agree teacher-forced, expected acceptance
-    1−TV ≈ 0.66, but free-running they lock onto different
-    near-deterministic attractors and acceptance collapses to ~2%. A
-    production draft must be distilled from the target; the perturbed
-    copy stands in for that alignment.)"""
+    (An independently trained smaller net is NOT a reliable draft here —
+    with sine-overfit near-deterministic models, acceptance hinges on
+    whether the two free-running attractors coincide and was measured
+    anywhere from ~2% to ~96% across draft configs. The perturbed copy
+    is the stable stand-in for an aligned draft; production drafts come
+    from distillation, wavenet_tpu/distill.py.)"""
     from wavenet_tpu.speculative import generate_speculative
 
     audio, _ = make_sine_waves(False, n_seconds=0.5)

@@ -191,6 +191,29 @@ def _tiny_params_json(tmp_path):
     return p
 
 
+def test_distill_draft_mechanics(rng):
+    """distill_draft trains a working draft on target samples: loss
+    drops well below uniform and the result drives speculative decoding
+    end to end. (No acceptance-rate assertion — with overfit toy models
+    acceptance is chaotic; see the module docstrings.)"""
+    from wavenet_tpu.distill import distill_draft
+
+    cfg = target_config()
+    dcfg = draft_config()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    seed = seed_for(cfg, rng)
+    dparams, loss = distill_draft(params, cfg, dcfg,
+                                  jax.random.PRNGKey(4), n_clips=2,
+                                  clip_samples=120, steps=40,
+                                  seed_codes=seed)
+    assert np.isfinite(loss)
+    assert loss < np.log(cfg.quantization_channels)  # below uniform
+    codes = generate_speculative(params, cfg, dparams, dcfg,
+                                 n_samples=12, key=jax.random.PRNGKey(5),
+                                 k=3, seed_codes=seed)
+    assert np.asarray(codes).shape == (1, 12)
+
+
 def test_scalar_input_rejected():
     cfg = target_config(scalar_input=True, initial_filter_width=2)
     params = init_params(jax.random.PRNGKey(0), cfg)

@@ -3,11 +3,12 @@
 Trains a target (16 layers) on the synthetic sine corpus, then
 DISTILLS a draft (6 layers) on the target's own free-running samples —
 alignment with the target's generative distribution is what drives
-acceptance (measured: an independently sine-trained draft agrees with
-the target teacher-forced but diverges free-running, acceptance ~2%;
-see tests/test_end_to_end.py's speculative test). Then measures b=1
-samples/s: plain scan sampler vs speculative at several k, with
-acceptance stats.
+acceptance. Caveat from CPU calibration: with overfit near-
+deterministic toy models acceptance is chaotic (2%-96% across draft
+configs, depending on whether free-running attractors coincide), so
+treat the acceptance number here as a property of THIS pair, not of
+the method. Measures b=1 samples/s: plain scan sampler vs speculative
+at several k, with acceptance stats.
 
 Run alone — one TPU process at a time. ~6 min including training.
 """

@@ -35,6 +35,7 @@ from wavenet_tpu.sample import (
 )
 from wavenet_tpu.score import log_likelihood
 from wavenet_tpu.speculative import generate_speculative
+from wavenet_tpu.distill import distill_draft
 from wavenet_tpu.ops.conv import (
     batch_to_time,
     causal_conv,

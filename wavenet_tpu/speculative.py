@@ -162,15 +162,18 @@ def generate_speculative(params: Params, config: WaveNetConfig,
     sampling — the output distribution is exactly the TARGET model's.
 
     The draft can be any (smaller/cheaper) WaveNet with the same
-    quantization_channels — but it must be ALIGNED with the target's
-    free-running distribution (distilled on target samples, pruned, or
-    quantized from it). Measured caveat: a draft trained independently
-    on the same DATA agrees with the target teacher-forced yet diverges
-    free-running (different near-deterministic attractors) and
-    acceptance collapses — correctness is unaffected (output stays
-    target-exact) but there is no speedup. Both models are primed on
-    the same seed (or the reference's unseeded recipe) with the
-    parallel prefill. ``return_stats`` adds
+    quantization_channels — but the SPEEDUP is its acceptance rate,
+    which measures agreement with the target's free-running
+    distribution, not training-data fit. Correctness never depends on
+    the draft (output stays target-exact). Measured caveat from toy
+    experiments: with near-deterministic (overfit) models, acceptance
+    is chaotic — it hinges on whether the two models' free-running
+    attractors coincide, and flips between ~2% and ~96% across draft
+    configs/seeds. A lightly perturbed copy of the target is reliably
+    high-acceptance (tested); for production drafts use distillation on
+    target samples (wavenet_tpu/distill.py) at realistic entropy. Both
+    models are primed on the same seed (or the reference's unseeded
+    recipe) with the parallel prefill. ``return_stats`` adds
     (n_segments, n_draft_accepted, n_emitted): mean accepted length
     = n_draft_accepted / n_segments (+1 emitted per segment).
 
