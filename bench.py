@@ -208,5 +208,40 @@ def main():
     }))
 
 
+def _watchdog():
+    """Run the real bench in a child with a hard timeout.
+
+    A dead device tunnel HANGS (jax.devices() blocks forever in fresh
+    processes — observed 2026-08-18) rather than raising, which the
+    per-metric try/except cannot catch. The parent guarantees the
+    driver its one JSON line either way.
+    """
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, WAVENET_BENCH_CHILD="1")
+    try:
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, timeout=3300,
+                              capture_output=True, text=True)
+        out = proc.stdout.strip().splitlines()
+        if out and out[-1].startswith("{"):
+            print(out[-1])
+            return
+        reason = f"bench child exited {proc.returncode} without JSON"
+    except subprocess.TimeoutExpired:
+        reason = "bench child timed out (device tunnel hung?)"
+    print(json.dumps({
+        "metric": "gen_samples_per_s_b1_paper", "value": None,
+        "unit": "samples/s", "vs_baseline": None,
+        "extra": {"error": reason},
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    import os
+    if os.environ.get("WAVENET_BENCH_CHILD"):
+        main()
+    else:
+        _watchdog()
