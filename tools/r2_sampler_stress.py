@@ -169,6 +169,42 @@ def main():
           bool(np.array_equal(out1, out2)),
           f"diff_count={int(np.sum(out1 != out2))}")
 
+    # 5) prefill parity on hardware (round-3 path): the parallel-prefill
+    # ring state must reproduce sequential teacher-forcing — verified by
+    # teacher-forcing a continuation ACROSS the prefill boundary and
+    # comparing its logits window against the conv-forward oracle.
+    from wavenet_tpu.kernels.sampler import (
+        _IO_CHUNK, _logits_in_step_order, _run_sampler_kernel_hbm_stream,
+        pack_sampler_weights, prefill_carry)
+    P, cont = 50_000, 2048
+    carry = prefill_carry(params, paper, codes[:, :P])
+    packed = pack_sampler_weights(params, paper, 64)
+    forced = jnp.transpose(codes[:, P - 1:P - 1 + cont])     # [cont, 64]
+    T_pad = -(-cont // _IO_CHUNK) * _IO_CHUNK
+    lanes = jnp.zeros((T_pad, 128), jnp.int32).at[:cont, 0:64].set(forced)
+    _, logits_pf, _, _ = _run_sampler_kernel_hbm_stream(
+        packed, lanes, jnp.asarray([0, carry.t_abs], jnp.int32),
+        carry.ring, carry.causal, paper, cont, cont, 64, 1.0, W,
+        resume=True)
+    logits_pf = np.asarray(_logits_in_step_order(logits_pf, W, cont))
+    logits_pf = np.moveaxis(logits_pf, 0, 1)                 # [64, W, Q]
+    oracle = np.asarray(forced_logits_window(
+        params, paper, codes[:, :P - 1 + cont], W))
+    err = float(np.max(np.abs(logits_pf - oracle)))
+    scale = float(np.max(np.abs(oracle)))
+    check("prefill b64 50k-seed + forced continuation",
+          err <= 2e-4 * max(scale, 1.0),
+          f"max|d|={err:.2e} scale={scale:.1f}")
+
+    # and the production prefill entry point end to end at b128
+    outp = np.asarray(generate_pallas(params, paper, n_samples=16000,
+                                      seed=6, batch_size=128,
+                                      prefill=True,
+                                      seed_codes=codes[:, :8192]
+                                      .repeat(2, axis=0)))
+    ok = outp.shape == (128, 16000) and outp.min() >= 0 and outp.max() < 256
+    check("prefill b128 seeded generation", ok)
+
     print("\n" + ("ALL CHECKS PASSED" if not FAILURES
                   else f"FAILED: {FAILURES}"), flush=True)
     sys.exit(1 if FAILURES else 0)
