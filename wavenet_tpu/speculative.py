@@ -34,7 +34,7 @@ state equality against teacher-forcing the emitted stream.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
