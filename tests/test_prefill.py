@@ -237,3 +237,26 @@ def test_resumable_prefill_segments_are_one_run(rng):
     # state-chaining are asserted here (sampled values diverge from the
     # single-run stream by design, as documented).
     assert np.asarray(b).shape == (B, 6)
+
+
+def test_streaming_scoring_matches_one_shot(rng):
+    """log_likelihood_streaming (extend_state windows, O(chunk) memory)
+    == log_likelihood (one-shot forward) across chunk boundaries and a
+    padded tail chunk."""
+    from wavenet_tpu.models.wavenet import init_params
+    from wavenet_tpu.score import log_likelihood, log_likelihood_streaming
+
+    cfg = small_config(gc_channels=4, gc_cardinality=4)
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    B, T = 2, 301   # several 64-chunks + a ragged tail
+    audio = jnp.asarray(rng.uniform(-1, 1, (B, T)).astype(np.float32))
+    gc_ids = jnp.asarray([1, 3])
+
+    ref = log_likelihood(params, cfg, audio, gc_ids)
+    got = log_likelihood_streaming(params, cfg, audio, gc_ids, chunk=64)
+    np.testing.assert_allclose(np.asarray(got["total_logp"]),
+                               np.asarray(ref["total_logp"]),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got["bits_per_sample"]),
+                               np.asarray(ref["bits_per_sample"]),
+                               rtol=1e-5, atol=1e-6)

@@ -58,6 +58,73 @@ def log_likelihood(params: Params, config: WaveNetConfig,
             "bits_per_sample": bits}
 
 
+def log_likelihood_streaming(params: Params, config: WaveNetConfig,
+                             audio: jnp.ndarray,
+                             gc_ids: Optional[jnp.ndarray] = None,
+                             chunk: int = 65536):
+    """``log_likelihood`` with O(chunk) device memory for ANY length.
+
+    The one-shot scorer materializes [B, T, Q] logits — ~1 GB per
+    minute of 16 kHz audio at Q=256 — so hour-long streams do not fit.
+    Here the waveform advances through ``sample.extend_state`` windows
+    (ring-buffer state carried between chunks, exactly like decode), so
+    device memory is bounded by the chunk while the math stays the
+    parallel teacher-forced forward. Matches ``log_likelihood`` to f32
+    round-off (tested).
+
+    Returns the same dict minus ``logp_per_sample`` (whose O(T) host
+    transfer is the point of avoiding): total_logp [B],
+    bits_per_sample [B].
+    """
+    import numpy as np
+
+    from wavenet_tpu.models.wavenet import embed_gc
+    from wavenet_tpu.sample import extend_state, init_sampler_state
+
+    c = config
+    if c.scalar_input:
+        raise NotImplementedError(
+            "streaming scoring is mu-law-only (extend_state consumes "
+            "codes); use log_likelihood for scalar-input models")
+    B, T = audio.shape
+    codes = mu_law_encode(audio, c.quantization_channels)
+    gc_emb = embed_gc(params, c, gc_ids) if gc_ids is not None else None
+
+    @partial(jax.jit, static_argnames=("k",), donate_argnames=("state",))
+    def score_chunk(state, window, targets, valid, k):
+        logits, state = extend_state(params, c, state, window, gc_emb)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        oh = jax.nn.one_hot(targets, c.quantization_channels,
+                            dtype=logp.dtype)
+        per = jnp.sum(logp * oh, axis=-1) * valid
+        return state, jnp.sum(per, axis=-1)
+
+    state = init_sampler_state(c, B)
+    total = jnp.zeros((B,), jnp.float32)
+    # Window t scores target t+1: inputs are codes[:, :-1].
+    n_in = T - 1
+    pos = 0
+    while pos < n_in:
+        k = min(chunk, n_in - pos)
+        window = codes[:, pos:pos + k]
+        targets = codes[:, pos + 1:pos + 1 + k]
+        if k < chunk and n_in > chunk:
+            # Pad the tail chunk to the compiled size; mask the pad.
+            pad = chunk - k
+            window = jnp.pad(window, ((0, 0), (0, pad)))
+            targets = jnp.pad(targets, ((0, 0), (0, pad)))
+            valid = (jnp.arange(chunk) < k).astype(jnp.float32)[None, :]
+            k_call = chunk
+        else:
+            valid = jnp.ones((1, k), jnp.float32)
+            k_call = k
+        state, part = score_chunk(state, window, targets, valid, k_call)
+        total = total + part
+        pos += k
+    bits = -total / (n_in * np.log(2.0))
+    return {"total_logp": total, "bits_per_sample": bits}
+
+
 def main(argv=None):
     """Evaluation CLI: score wav files under a checkpoint.
 
@@ -80,6 +147,10 @@ def main(argv=None):
     ap.add_argument("--gc_channels", type=int, default=None)
     ap.add_argument("--gc_cardinality", type=int, default=None)
     ap.add_argument("--gc_id", type=int, default=None)
+    ap.add_argument("--streaming_chunk", type=int, default=65536,
+                    help="Files longer than this score through bounded-"
+                         "memory extend_state windows (mu-law models); "
+                         "0 forces the one-shot scorer.")
     args = ap.parse_args(argv)
 
     from wavenet_tpu.audio import read_wav
@@ -99,8 +170,13 @@ def main(argv=None):
 
     for path in args.wavs:
         audio, _ = read_wav(path, raw["sample_rate"])
-        out = log_likelihood(params, config, jnp.asarray(audio)[None, :],
-                             gc_ids)
+        stream = (args.streaming_chunk
+                  and audio.shape[0] > args.streaming_chunk
+                  and not config.scalar_input)
+        scorer = (log_likelihood_streaming if stream else log_likelihood)
+        kw = {"chunk": args.streaming_chunk} if stream else {}
+        out = scorer(params, config, jnp.asarray(audio)[None, :],
+                     gc_ids, **kw)
         total = float(jax.device_get(out["total_logp"])[0])
         bits = float(jax.device_get(out["bits_per_sample"])[0])
         n = int(audio.shape[0])
