@@ -70,7 +70,7 @@ def test_committed_state_equals_teacher_forcing(rng):
 
     t0 = prefill_state(params, cfg, seed[:, :-1])
     d0 = prefill_state(dparams, dcfg, seed[:, :-1])
-    codes, t_st, d_st, stats = _speculative_loop(
+    codes, t_st, d_st, _, stats = _speculative_loop(
         params, cfg, dparams, dcfg, t0, d0,
         seed[:, -1].astype(jnp.int32), jax.random.PRNGKey(7),
         n, 4, 1.0, None, None)
@@ -164,7 +164,7 @@ def test_batched_lanes_equal_solo_runs(rng):
         from wavenet_tpu.speculative import _speculative_loop
         st = prefill_state(params, cfg, seeds[i:i + 1, :-1])
         dst = prefill_state(dparams, dcfg, seeds[i:i + 1, :-1])
-        solo, _, _, _ = _speculative_loop(
+        solo, _, _, _, _ = _speculative_loop(
             params, cfg, dparams, dcfg, st, dst,
             seeds[i:i + 1, -1].astype(jnp.int32), lane_keys[i],
             n, 4, 1.0, None, None)
@@ -172,12 +172,38 @@ def test_batched_lanes_equal_solo_runs(rng):
                                       np.asarray(solo)[0, :n])
 
 
-def test_cli_save_every_conflict(tmp_path):
+def test_cli_save_every_batch_conflict(tmp_path):
     from wavenet_tpu.cli.generate import main as gen_main
-    with pytest.raises(ValueError, match="save_every"):
+    with pytest.raises(ValueError, match="batch size 1"):
         gen_main(["/nonexistent", "--draft_checkpoint=/nonexistent",
-                  "--save_every=10", "--samples=20",
+                  "--save_every=10", "--samples=20", "--batch_size=2",
                   f"--wavenet_params={_tiny_params_json(tmp_path)}"])
+
+
+def test_resumable_segments_prefix_equals_one_run(rng):
+    """Segmented speculative generation is a prefix of the single run
+    (same per-segment PRNG fold), and the carry chains states."""
+    cfg = target_config()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    seed = seed_for(cfg, rng)
+    key = jax.random.PRNGKey(13)
+
+    one = np.asarray(generate_speculative(
+        params, cfg, params, cfg, 30, key, k=4, seed_codes=seed))
+    a_full, carry = generate_speculative(
+        params, cfg, params, cfg, 10, key, k=4, seed_codes=seed,
+        return_carry=True)
+    a_full = np.asarray(a_full)
+    assert a_full.shape[1] >= 10
+    n_cmp = min(a_full.shape[1], 30)
+    np.testing.assert_array_equal(a_full[0, :n_cmp], one[0, :n_cmp])
+
+    b_full, carry2 = generate_speculative(
+        params, cfg, params, cfg, 8, jax.random.PRNGKey(14), k=4,
+        carry=carry, return_carry=True)
+    assert np.asarray(b_full).shape[1] >= 8
+    assert int(carry2.t_state.t) == int(carry.t_state.t) + \
+        np.asarray(b_full).shape[1]
 
 
 def _tiny_params_json(tmp_path):
@@ -251,3 +277,11 @@ def test_cli_speculative_flag(tmp_path):
                    f"--draft_checkpoint={ckpt}", "--speculative_k=3"])
     assert rc == 0
     assert out.exists() and out.stat().st_size == 44 + 2 * 12
+
+    # --save_every: resumable segments, same artifact contract.
+    out2 = tmp_path / "out2.wav"
+    rc = gen_main([ckpt, f"--wavenet_params={pfile}", "--samples=14",
+                   f"--wav_out_path={out2}", "--seed=1", "--save_every=6",
+                   f"--draft_checkpoint={ckpt}", "--speculative_k=3"])
+    assert rc == 0
+    assert out2.exists() and out2.stat().st_size == 44 + 2 * 14

@@ -106,12 +106,11 @@ def create_seed(filename, sample_rate, quantization_channels, window_size,
 
 def main(argv=None):
     args = get_arguments(argv)
-    if args.draft_checkpoint and args.save_every:
-        # Fail loudly instead of silently skipping the partial dumps the
-        # user asked for.
-        raise ValueError("--save_every is not supported with "
-                         "--draft_checkpoint (speculative decoding runs "
-                         "as one program); drop one of the two")
+    if (args.draft_checkpoint and args.save_every
+            and args.batch_size != 1):
+        raise ValueError("--save_every with --draft_checkpoint runs at "
+                         "batch size 1 (acceptance makes emitted counts "
+                         "ragged across lanes)")
 
     from wavenet_tpu.cli.train import enable_compilation_cache
     enable_compilation_cache(args.compilation_cache)
@@ -208,14 +207,11 @@ def main(argv=None):
     return 0
 
 
-def _generate_speculative(params, config, args, key, gc_ids, seed_codes):
-    """Speculative decoding: a draft checkpoint proposes, the target
-    verifies (wavenet_tpu/speculative.py). Target-exact distribution."""
+def _load_draft(args):
     import json as _json
 
     from wavenet_tpu.models.config import WaveNetConfig
     from wavenet_tpu.models.wavenet import init_params
-    from wavenet_tpu.speculative import generate_speculative
     from wavenet_tpu.train_lib import restore_params_only
 
     dp_path = args.draft_wavenet_params or args.wavenet_params
@@ -230,16 +226,55 @@ def _generate_speculative(params, config, args, key, gc_ids, seed_codes):
         raise FileNotFoundError(
             f"No draft checkpoint in {args.draft_checkpoint}")
     print(f"Restoring draft model from {args.draft_checkpoint}")
+    return draft_params, draft_config
 
-    codes, (n_seg, n_acc, n_out) = generate_speculative(
-        params, config, draft_params, draft_config, args.samples, key,
-        k=args.speculative_k, temperature=args.temperature,
-        gc_ids=gc_ids, draft_gc_ids=gc_ids, seed_codes=seed_codes,
-        batch_size=args.batch_size, return_stats=True)
-    rate = n_acc / max(1, n_seg * args.speculative_k)
-    print(f"Speculative decode: {n_seg} segments, draft acceptance "
-          f"{100 * rate:.1f}%, {n_out / max(1, n_seg):.2f} samples/pass.")
-    return codes
+
+def _generate_speculative(params, config, args, key, gc_ids, seed_codes):
+    """Speculative decoding: a draft checkpoint proposes, the target
+    verifies (wavenet_tpu/speculative.py). Target-exact distribution.
+    With --save_every, generates in resumable segments and dumps the
+    partial wav after each (reference generate.py ≈:225 semantics)."""
+    from wavenet_tpu.speculative import generate_speculative
+
+    draft_params, draft_config = _load_draft(args)
+    common = dict(k=args.speculative_k, temperature=args.temperature,
+                  gc_ids=gc_ids, draft_gc_ids=gc_ids)
+
+    if not args.save_every:
+        codes, (n_seg, n_acc, n_out) = generate_speculative(
+            params, config, draft_params, draft_config, args.samples, key,
+            seed_codes=seed_codes, batch_size=args.batch_size,
+            return_stats=True, **common)
+        rate = n_acc / max(1, n_seg * args.speculative_k)
+        print(f"Speculative decode: {n_seg} segments, draft acceptance "
+              f"{100 * rate:.1f}%, "
+              f"{n_out / max(1, n_seg):.2f} samples/pass.")
+        return codes
+
+    from wavenet_tpu.audio import mu_law_decode_np, write_wav
+
+    carry = None
+    chunks = []
+    done = 0
+    seg = args.save_every     # fixed segment size -> one compiled shape
+    while done < args.samples:
+        key, sub = jax.random.split(key)
+        part, carry = generate_speculative(
+            params, config, draft_params, draft_config, seg, sub,
+            seed_codes=None if carry is not None else seed_codes,
+            carry=carry, return_carry=True, **common)
+        chunks.append(np.asarray(part))
+        done += part.shape[1]
+        if args.wav_out_path:
+            partial = np.concatenate(chunks, axis=1)[0, :args.samples]
+            write_wav(args.wav_out_path,
+                      mu_law_decode_np(partial,
+                                       config.quantization_channels),
+                      config.sample_rate)
+        print(f"Sample {min(done, args.samples)}/{args.samples} — "
+              f"partial wav updated", flush=True)
+    return jnp.asarray(
+        np.concatenate(chunks, axis=1)[:, :args.samples])
 
 
 def _generate_fast(params, config, args, key, gc_ids, seed_codes):

@@ -40,11 +40,20 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from typing import NamedTuple
+
 from wavenet_tpu.models.config import WaveNetConfig
 from wavenet_tpu.models.wavenet import Params, embed_gc
 from wavenet_tpu.sample import (
     SamplerState, _extend_commit, _extend_forward, _featurize,
     _ordered_ring, prefill_state, sampler_step)
+
+
+class SpeculativeCarry(NamedTuple):
+    """State between resumable speculative segments (batch 1)."""
+    t_state: SamplerState     # target ring/causal/t
+    d_state: SamplerState     # draft ring/causal/t
+    last: jnp.ndarray         # [1] int32 — next decode input
 
 
 @partial(jax.jit,
@@ -146,7 +155,7 @@ def _speculative_loop(params: Params, config: WaveNetConfig,
     stats = (n_seg, n_acc, n_out)
     # Full buffer (n_out valid entries, may overshoot n_samples by up to
     # k); generate_speculative slices the requested count.
-    return out[None, :], t_st, d_st, stats
+    return out[None, :], t_st, d_st, last, stats
 
 
 def generate_speculative(params: Params, config: WaveNetConfig,
@@ -157,6 +166,8 @@ def generate_speculative(params: Params, config: WaveNetConfig,
                          draft_gc_ids: Optional[jnp.ndarray] = None,
                          seed_codes: Optional[jnp.ndarray] = None,
                          batch_size: int = 1,
+                         carry: Optional[SpeculativeCarry] = None,
+                         return_carry: bool = False,
                          return_stats: bool = False):
     """Generate ``n_samples`` mu-law codes [1, n] with speculative
     sampling — the output distribution is exactly the TARGET model's.
@@ -182,6 +193,14 @@ def generate_speculative(params: Params, config: WaveNetConfig,
     with ``jax.vmap`` — lanes accept/reject on their own schedules and
     each emits exactly what its solo run would (tested). Stats are
     summed over lanes.
+
+    Resumable segments (batch 1 — acceptance makes emitted counts
+    ragged across lanes): ``return_carry=True`` returns ALL emitted
+    codes (which may overshoot n_samples by up to k — the state has
+    consumed them) plus a ``SpeculativeCarry``; pass it back as
+    ``carry`` to continue the stream (PRNG reseeds per segment call,
+    same convention as the Pallas resumable sampler). This is what
+    --save_every uses with --draft_checkpoint.
     """
     c, dc = config, draft_config
     if c.scalar_input or dc.scalar_input:
@@ -213,9 +232,19 @@ def generate_speculative(params: Params, config: WaveNetConfig,
             params, c, draft_params, dc, t_state, d_state, last, key_row,
             n_samples, k, temperature, gce_t, gce_d)
 
-    if B == 1:
-        codes, _, _, stats = one(seed_codes, key_gen, gc_emb_t, gc_emb_d)
-        codes = codes[:, :n_samples]
+    if carry is not None or return_carry:
+        if B != 1 or batch_size != 1:
+            raise ValueError("resumable speculative decoding runs at "
+                             "batch size 1 (acceptance makes emitted "
+                             "counts ragged across lanes)")
+    if carry is not None:
+        codes, t_st, d_st, last, stats = _speculative_loop(
+            params, c, draft_params, dc, carry.t_state, carry.d_state,
+            carry.last, key_gen, n_samples, k, temperature,
+            gc_emb_t, gc_emb_d)
+    elif B == 1:
+        codes, t_st, d_st, last, stats = one(seed_codes, key_gen,
+                                             gc_emb_t, gc_emb_d)
     else:
         keys = jax.random.split(key_gen, B)
         lanes = seed_codes[:, None, :]                 # [B, 1, T]
@@ -224,10 +253,19 @@ def generate_speculative(params: Params, config: WaveNetConfig,
                    0 if gc_emb_d is not None else None)
         gce_t = gc_emb_t[:, None] if gc_emb_t is not None else None
         gce_d = gc_emb_d[:, None] if gc_emb_d is not None else None
-        codes, _, _, stats = jax.vmap(one, in_axes=in_axes)(
+        codes, _, _, _, stats = jax.vmap(one, in_axes=in_axes)(
             lanes, keys, gce_t, gce_d)
         codes = codes[:, 0, :n_samples]                # [B, n]
         stats = tuple(jnp.sum(s) for s in stats)
+        t_st = d_st = last = None
+
+    if return_carry:
+        n_out = int(jax.device_get(stats[2]))
+        out = (codes[:, :n_out],
+               SpeculativeCarry(t_state=t_st, d_state=d_st, last=last))
+    else:
+        out = codes[:, :n_samples]
     if return_stats:
-        return codes, tuple(int(s) for s in jax.device_get(stats))
-    return codes
+        stats_t = tuple(int(s) for s in jax.device_get(stats))
+        return (*out, stats_t) if return_carry else (out, stats_t)
+    return out
