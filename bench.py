@@ -225,12 +225,19 @@ def _watchdog():
         proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
                               env=env, timeout=3300,
                               capture_output=True, text=True)
+        # Diagnostics must survive the capture (per-metric tracebacks go
+        # to the child's stderr).
+        sys.stderr.write(proc.stderr[-8000:])
         out = proc.stdout.strip().splitlines()
         if out and out[-1].startswith("{"):
             print(out[-1])
             return
         reason = f"bench child exited {proc.returncode} without JSON"
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
+        if e.stderr:
+            err = e.stderr
+            sys.stderr.write(err.decode() if isinstance(err, bytes)
+                             else err)
         reason = "bench child timed out (device tunnel hung?)"
     print(json.dumps({
         "metric": "gen_samples_per_s_b1_paper", "value": None,

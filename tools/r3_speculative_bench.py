@@ -88,20 +88,19 @@ def main():
 
     n = 4000
     seed_wave = make_sines(1, tcfg.receptive_field, rng)
-    from wavenet_tpu.audio import mu_law_decode_np, mu_law_encode_np
+    from wavenet_tpu.audio import mu_law_encode_np
     seed = jnp.asarray(
         mu_law_encode_np(seed_wave[0], 256))[None, :]
 
     # Distill the draft on the TARGET's free-running samples (alignment
-    # is what acceptance measures).
-    distill_codes = generate(tparams, tcfg, 4 * (tcfg.receptive_field
-                                                 + 4000),
-                             jax.random.PRNGKey(5), batch_size=1,
-                             seed_codes=seed)
-    distill_wave = mu_law_decode_np(
-        np.asarray(distill_codes)[0], 256).reshape(
-        4, tcfg.receptive_field + 4000)
-    dparams = train_on(dcfg, jnp.asarray(distill_wave), 300, "draft(6L)")
+    # is what acceptance measures) — the shared utility, not an inline
+    # re-implementation.
+    from wavenet_tpu.distill import distill_draft
+    dparams, dloss = distill_draft(tparams, tcfg, dcfg,
+                                   jax.random.PRNGKey(5), n_clips=4,
+                                   clip_samples=4000, steps=300,
+                                   seed_codes=seed, log=print)
+    print(f"draft(6L): distilled, loss {dloss:.3f}")
 
     dt = timed(lambda: generate(tparams, tcfg, n, jax.random.PRNGKey(2),
                                 batch_size=1, seed_codes=seed))

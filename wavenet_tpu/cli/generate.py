@@ -271,8 +271,8 @@ def _generate_speculative(params, config, args, key, gc_ids, seed_codes):
                       mu_law_decode_np(partial,
                                        config.quantization_channels),
                       config.sample_rate)
-        print(f"Sample {min(done, args.samples)}/{args.samples} — "
-              f"partial wav updated", flush=True)
+            print(f"Sample {min(done, args.samples)}/{args.samples} — "
+                  f"partial wav updated", flush=True)
     return jnp.asarray(
         np.concatenate(chunks, axis=1)[:, :args.samples])
 

@@ -49,6 +49,8 @@ def distill_draft(params: Params, config: WaveNetConfig,
     if c.scalar_input or draft_config.scalar_input:
         raise NotImplementedError("distillation is mu-law-only, like "
                                   "speculative decoding")
+    if steps <= 0:
+        raise ValueError(f"steps must be positive, got {steps}")
     key_gen, key_init = jax.random.split(key)
 
     # On-policy corpus: free-running target samples. Keep the draft's

@@ -58,6 +58,20 @@ def log_likelihood(params: Params, config: WaveNetConfig,
             "bits_per_sample": bits}
 
 
+@partial(jax.jit, static_argnames=("config",), donate_argnames=("state",))
+def _score_chunk(params, config, state, window, targets, valid, gc_emb):
+    """One streaming-scorer window (module-level jit: compiles once per
+    config/shape, not per log_likelihood_streaming call)."""
+    from wavenet_tpu.sample import extend_state
+
+    logits, state = extend_state(params, config, state, window, gc_emb)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    oh = jax.nn.one_hot(targets, config.quantization_channels,
+                        dtype=logp.dtype)
+    per = jnp.sum(logp * oh, axis=-1) * valid
+    return state, jnp.sum(per, axis=-1)
+
+
 def log_likelihood_streaming(params: Params, config: WaveNetConfig,
                              audio: jnp.ndarray,
                              gc_ids: Optional[jnp.ndarray] = None,
@@ -79,7 +93,7 @@ def log_likelihood_streaming(params: Params, config: WaveNetConfig,
     import numpy as np
 
     from wavenet_tpu.models.wavenet import embed_gc
-    from wavenet_tpu.sample import extend_state, init_sampler_state
+    from wavenet_tpu.sample import init_sampler_state
 
     c = config
     if c.scalar_input:
@@ -89,15 +103,6 @@ def log_likelihood_streaming(params: Params, config: WaveNetConfig,
     B, T = audio.shape
     codes = mu_law_encode(audio, c.quantization_channels)
     gc_emb = embed_gc(params, c, gc_ids) if gc_ids is not None else None
-
-    @partial(jax.jit, static_argnames=("k",), donate_argnames=("state",))
-    def score_chunk(state, window, targets, valid, k):
-        logits, state = extend_state(params, c, state, window, gc_emb)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        oh = jax.nn.one_hot(targets, c.quantization_channels,
-                            dtype=logp.dtype)
-        per = jnp.sum(logp * oh, axis=-1) * valid
-        return state, jnp.sum(per, axis=-1)
 
     state = init_sampler_state(c, B)
     total = jnp.zeros((B,), jnp.float32)
@@ -114,11 +119,10 @@ def log_likelihood_streaming(params: Params, config: WaveNetConfig,
             window = jnp.pad(window, ((0, 0), (0, pad)))
             targets = jnp.pad(targets, ((0, 0), (0, pad)))
             valid = (jnp.arange(chunk) < k).astype(jnp.float32)[None, :]
-            k_call = chunk
         else:
             valid = jnp.ones((1, k), jnp.float32)
-            k_call = k
-        state, part = score_chunk(state, window, targets, valid, k_call)
+        state, part = _score_chunk(params, c, state, window, targets,
+                                   valid, gc_emb)
         total = total + part
         pos += k
     bits = -total / (n_in * np.log(2.0))
@@ -165,6 +169,9 @@ def main(argv=None):
     params = restore_params_only(args.checkpoint, template)
     if params is None:
         raise FileNotFoundError(f"no checkpoint in {args.checkpoint}")
+    if args.gc_id is not None and args.gc_channels is None:
+        raise ValueError("--gc_id needs --gc_channels (and "
+                         "--gc_cardinality), like the generate CLI.")
     gc_ids = (jnp.asarray([args.gc_id], jnp.int32)
               if args.gc_id is not None else None)
 

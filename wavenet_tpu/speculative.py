@@ -57,18 +57,22 @@ class SpeculativeCarry(NamedTuple):
 
 
 @partial(jax.jit,
-         static_argnames=("config", "draft_config", "n_samples", "k",
-                          "temperature"))
+         static_argnames=("config", "draft_config", "n_samples", "k"))
 def _speculative_loop(params: Params, config: WaveNetConfig,
                       draft_params: Params, draft_config: WaveNetConfig,
                       t_state: SamplerState, d_state: SamplerState,
                       last: jnp.ndarray, key: jax.Array,
-                      n_samples: int, k: int, temperature: float,
+                      n_samples: int, k: int, temperature,
                       gc_emb_t, gc_emb_d):
-    """The whole speculative decode as one program. ``last`` [1] int32."""
+    """The whole speculative decode as one program. ``last`` [1] int32.
+
+    ``temperature`` is TRACED (it only scales logits): per-request
+    temperatures — e.g. through the HTTP server — must not recompile
+    the two-model while_loop.
+    """
     c, dc = config, draft_config
     Q = c.quantization_channels
-    inv_t = 1.0 / temperature
+    inv_t = 1.0 / jnp.float32(temperature)
     n_cap = n_samples + k + 1
 
     def segment(carry):
