@@ -832,7 +832,7 @@ def _run_sampler_kernel_hbm(packed: PackedSampler, forced: jnp.ndarray,
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),     # codes
             pl.BlockSpec(memory_space=pltpu.VMEM),     # logits
-            pl.BlockSpec(memory_space=pltpu.ANY),      # ring (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),         # ring (HBM)
         ),
         scratch_shapes=[
             pltpu.VMEM((B, (kw_in - 1) * c.input_channels), jnp.float32),
