@@ -149,8 +149,8 @@ def test_nan_stop_skips_final_checkpoint(tmp_path, monkeypatch):
     def nan_at_step_2(config, optimizer, l2):
         step_fn = real(config, optimizer, l2)
 
-        def wrapped(state, audio, gc_ids=None):
-            new_state, metrics = step_fn(state, audio, gc_ids)
+        def wrapped(state, audio, gc_ids=None, lc=None):
+            new_state, metrics = step_fn(state, audio, gc_ids, lc)
             if int(jax.device_get(new_state.step)) >= 2:
                 metrics = dict(metrics)
                 metrics["loss"] = jnp.float32(jnp.nan)

@@ -47,7 +47,7 @@ def run_steps(cfg, mesh=None, model_parallelism=1, n_steps=3):
     for i in range(n_steps):
         audio, gc = make_batch(cfg, seed=i)
         if mesh is not None:
-            audio, gc = shard_batch(audio, mesh, gc)
+            audio, gc, _ = shard_batch(audio, mesh, gc)
         state, metrics = step_fn(state, jnp.asarray(audio),
                                  None if gc is None else jnp.asarray(gc))
         losses.append(float(jax.device_get(metrics["loss"])))
@@ -84,7 +84,7 @@ def test_batch_sharded_over_data_axis():
     cfg = cfg_for_tp()
     mesh = make_mesh(model_parallelism=2)  # (4 data, 2 model)
     audio, gc = make_batch(cfg, batch=8)
-    audio_s, gc_s = shard_batch(audio, mesh, gc)
+    audio_s, gc_s, _ = shard_batch(audio, mesh, gc)
     assert audio_s.addressable_shards[0].data.shape[0] == 2  # 8 / 4
     np.testing.assert_array_equal(np.asarray(audio_s), audio)
 
@@ -116,7 +116,7 @@ def test_multihost_helpers_single_process_degrade():
         "data": 4, "model": 2}
     cfg = cfg_for_tp()
     audio, gc = make_batch(cfg, batch=8)
-    audio_g, gc_g = global_batch_from_local(audio, mesh, gc)
+    audio_g, gc_g, _ = global_batch_from_local(audio, mesh, gc)
     assert audio_g.shape == audio.shape
     np.testing.assert_array_equal(np.asarray(audio_g), audio)
     np.testing.assert_array_equal(np.asarray(gc_g), gc)

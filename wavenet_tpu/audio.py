@@ -157,6 +157,26 @@ def _frame_rms(audio: np.ndarray, frame_length: int, hop_length: int) -> np.ndar
     return np.sqrt(np.mean(frames.astype(np.float64) ** 2, axis=1)).astype(np.float32)
 
 
+def trim_silence_indices(audio: np.ndarray, threshold: float,
+                         frame_length: int = 2048) -> "tuple[int, int]":
+    """(start, end) sample indices of the non-silent region.
+
+    The index form lets callers slice SIDE STREAMS (e.g. an upsampled
+    local-conditioning stream) in lockstep with the audio. (0, 0) means
+    the whole clip is silent.
+    """
+    if len(audio) < frame_length:
+        frame_length = max(len(audio), 1)
+    hop_length = frame_length // 4 if frame_length >= 4 else 1
+    energy = _frame_rms(audio, frame_length, hop_length)
+    loud = np.nonzero(energy > threshold)[0]
+    if len(loud) == 0:
+        return 0, 0
+    start = loud[0] * hop_length
+    end = min(len(audio), (loud[-1] + 1) * hop_length)
+    return start, end
+
+
 def trim_silence(audio: np.ndarray, threshold: float,
                  frame_length: int = 2048) -> np.ndarray:
     """Remove leading/trailing silence below an RMS threshold.
@@ -166,13 +186,5 @@ def trim_silence(audio: np.ndarray, threshold: float,
     [first_loud_frame_start_sample, last_loud_frame_end_sample); a fully
     silent clip returns an empty array (the caller warns and skips it).
     """
-    if len(audio) < frame_length:
-        frame_length = max(len(audio), 1)
-    hop_length = frame_length // 4 if frame_length >= 4 else 1
-    energy = _frame_rms(audio, frame_length, hop_length)
-    loud = np.nonzero(energy > threshold)[0]
-    if len(loud) == 0:
-        return audio[0:0]
-    start = loud[0] * hop_length
-    end = min(len(audio), (loud[-1] + 1) * hop_length)
+    start, end = trim_silence_indices(audio, threshold, frame_length)
     return audio[start:end]

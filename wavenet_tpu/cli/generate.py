@@ -77,6 +77,19 @@ def get_arguments(argv=None):
     parser.add_argument("--gc_cardinality", type=int, default=None)
     parser.add_argument("--gc_id", type=int, default=None,
                         help="ID of category to generate, int value.")
+    parser.add_argument("--lc_channels", type=int, default=None,
+                        help="Local condition channels of the trained "
+                             "model (extension; enables per-timestep "
+                             "conditioning).")
+    parser.add_argument("--lc_file", type=str, default=None,
+                        help="npy file [frames, lc_channels] of "
+                             "conditioning features for the generated "
+                             "audio; upsampled by --lc_hop. Required "
+                             "when --lc_channels is set.")
+    parser.add_argument("--lc_hop", type=int, default=None,
+                        help="Output samples per LC frame.")
+    parser.add_argument("--lc_upsample", type=str, default="repeat",
+                        choices=["repeat", "linear"])
     parser.add_argument("--seed", type=int, default=None,
                         help="PRNG seed for sampling.")
     parser.add_argument("--compilation_cache", type=str,
@@ -130,10 +143,20 @@ def main(argv=None):
                          "(training derived it from the data; generation "
                          "requires the flag, like the reference).")
 
+    if args.lc_channels is not None:
+        if args.lc_file is None or args.lc_hop is None:
+            raise ValueError("--lc_channels needs --lc_file and --lc_hop "
+                             "(per-timestep conditioning for the generated "
+                             "audio).")
+        if args.draft_checkpoint:
+            raise ValueError("--draft_checkpoint (speculative decoding) "
+                             "does not support local conditioning yet.")
+
     config = WaveNetConfig.from_json(
         wavenet_params,
         gc_channels=args.gc_channels,
-        gc_cardinality=args.gc_cardinality)
+        gc_cardinality=args.gc_cardinality,
+        lc_channels=args.lc_channels)
 
     template = init_params(jax.random.PRNGKey(0), config)
     import os
@@ -164,6 +187,19 @@ def main(argv=None):
         seed_codes = jnp.tile(jnp.asarray(codes)[None, :],
                               (args.batch_size, 1))
 
+    lc = None
+    if args.lc_channels is not None:
+        from wavenet_tpu.lc import fit_lc_to_length, upsample_lc
+        feats = np.load(args.lc_file)
+        if feats.ndim == 1:
+            feats = feats[:, None]
+        if feats.shape[1] != args.lc_channels:
+            raise ValueError(f"--lc_file has {feats.shape[1]} channels, "
+                             f"expected --lc_channels={args.lc_channels}")
+        stream = fit_lc_to_length(
+            upsample_lc(feats, args.lc_hop, args.lc_upsample), args.samples)
+        lc = jnp.tile(jnp.asarray(stream)[None], (args.batch_size, 1, 1))
+
     key = jax.random.PRNGKey(args.seed if args.seed is not None else 0)
 
     if args.draft_checkpoint:
@@ -171,13 +207,15 @@ def main(argv=None):
                                       seed_codes)
     elif args.fast_generation and args.save_every:
         codes = _generate_fast_chunked(params, config, args, key, gc_ids,
-                                       seed_codes, wavenet_params)
+                                       seed_codes, wavenet_params, lc)
     elif args.fast_generation:
-        codes = _generate_fast(params, config, args, key, gc_ids, seed_codes)
+        codes = _generate_fast(params, config, args, key, gc_ids, seed_codes,
+                               lc)
     else:
         # Slow path: full conv forward on the trailing receptive-field
         # window per sample (reference predict_proba loop, ≈:217).
-        codes = _generate_slow(params, config, args, key, gc_ids, seed_codes)
+        codes = _generate_slow(params, config, args, key, gc_ids, seed_codes,
+                               lc)
 
     codes = np.asarray(jax.device_get(codes))
     waveform = np.asarray(
@@ -277,7 +315,7 @@ def _generate_speculative(params, config, args, key, gc_ids, seed_codes):
         np.concatenate(chunks, axis=1)[:, :args.samples])
 
 
-def _generate_fast(params, config, args, key, gc_ids, seed_codes):
+def _generate_fast(params, config, args, key, gc_ids, seed_codes, lc=None):
     """Run the fastest sampler that actually compiles (ordered fallback,
     shared with the server — wavenet_tpu/sampler_select.py)."""
     from wavenet_tpu.sampler_select import generate_with_fallback
@@ -287,19 +325,22 @@ def _generate_fast(params, config, args, key, gc_ids, seed_codes):
         seed=args.seed if args.seed is not None else 0,
         batch_size=args.batch_size, gc_ids=gc_ids,
         temperature=args.temperature, seed_codes=seed_codes,
-        sampler=args.sampler, precision=args.sampler_precision)
+        sampler=args.sampler, precision=args.sampler_precision, lc=lc)
     return codes
 
 
 def _generate_fast_chunked(params, config, args, key, gc_ids, seed_codes,
-                           wavenet_params):
+                           wavenet_params, lc=None):
     """--save_every: generate in chunks, dumping the partial wav after
     each (reference generate.py ≈:225). Tries the resumable streamed
     Pallas kernel first (state carries across segments in the HBM ring);
-    falls back to the resumable scan sampler on compile failure."""
+    falls back to the resumable scan sampler on compile failure. Local
+    conditioning routes straight to the resumable scan sampler (the
+    Pallas kernels take no per-step feature stream)."""
     from wavenet_tpu.sampler_select import is_compile_failure
 
-    if args.sampler in ("auto", "pallas") and config.filter_width == 2 \
+    if lc is None and args.sampler in ("auto", "pallas") \
+            and config.filter_width == 2 \
             and jax.devices()[0].platform != "cpu":
         try:
             return _generate_chunked_pallas(params, config, args, gc_ids,
@@ -310,7 +351,7 @@ def _generate_fast_chunked(params, config, args, key, gc_ids, seed_codes,
             print(f"Pallas resumable sampler unavailable "
                   f"({str(e).splitlines()[0][:90]}); using scan.")
     return _generate_chunked_scan(params, config, args, key, gc_ids,
-                                  seed_codes, wavenet_params)
+                                  seed_codes, wavenet_params, lc)
 
 
 def _generate_chunked_pallas(params, config, args, gc_ids, seed_codes,
@@ -352,12 +393,12 @@ def _generate_chunked_pallas(params, config, args, gc_ids, seed_codes,
 
 
 def _generate_chunked_scan(params, config, args, key, gc_ids, seed_codes,
-                           wavenet_params):
-    """Scan-sampler --save_every (CPU and fallback path)."""
+                           wavenet_params, lc=None):
+    """Scan-sampler --save_every (CPU, LC, and fallback path)."""
     from wavenet_tpu.audio import mu_law_decode_np, write_wav
     from wavenet_tpu.models.wavenet import embed_gc
     from wavenet_tpu.sample import (
-        _featurize, generate_codes_resumable, prefill_state)
+        _featurize, _lc_for_prime, generate_codes_resumable, prefill_state)
 
     c = config
     B = args.batch_size
@@ -374,12 +415,14 @@ def _generate_chunked_scan(params, config, args, key, gc_ids, seed_codes,
                                c.quantization_channels // 2, jnp.int32)
             first = jax.random.randint(key_first, (B,), 0,
                                        c.quantization_channels)
-        state = prefill_state(params, c, silence, gc_emb)
+        lc_p = _lc_for_prime(lc, None, c.receptive_field - 1)
+        state = prefill_state(params, c, silence, gc_emb, lc_p)
     else:
         # seed_codes: int classes, or raw amplitudes in scalar mode
         # (create_seed already branches) — prefill_state handles both
         # (one parallel forward instead of a receptive-field scan).
-        state = prefill_state(params, c, seed_codes[:, :-1], gc_emb)
+        lc_p = _lc_for_prime(lc, None, seed_codes.shape[1] - 1)
+        state = prefill_state(params, c, seed_codes[:, :-1], gc_emb, lc_p)
         first = seed_codes[:, -1]
 
     x = _featurize(first, c)
@@ -389,7 +432,8 @@ def _generate_chunked_scan(params, config, args, key, gc_ids, seed_codes,
         n = min(args.save_every, args.samples - done)
         key, sub = jax.random.split(key)
         codes, state, x = generate_codes_resumable(
-            params, c, state, x, n, sub, args.temperature, gc_emb)
+            params, c, state, x, n, sub, args.temperature, gc_emb,
+            lc[:, done:done + n] if lc is not None else None)
         chunks.append(np.asarray(codes))
         done += n
         if args.wav_out_path:
@@ -401,12 +445,15 @@ def _generate_chunked_scan(params, config, args, key, gc_ids, seed_codes,
     return jnp.asarray(np.concatenate(chunks, axis=1))
 
 
-def _generate_slow(params, config, args, key, gc_ids, seed_codes):
+def _generate_slow(params, config, args, key, gc_ids, seed_codes, lc=None):
     """O(receptive_field) per sample — parity/debug path.
 
     The rolling window holds the network's raw inputs: int mu-law classes,
     or float amplitudes in scalar mode (sampled classes are decoded back
-    to amplitudes before re-entering the window)."""
+    to amplitudes before re-entering the window). With local conditioning
+    a feature window rolls alongside: row t conditions the prediction of
+    window position t+1, so its last row is the conditioning of the
+    sample being drawn (see models.wavenet.forward's convention)."""
     from wavenet_tpu.audio import mu_law_decode_np
     from wavenet_tpu.models.wavenet import predict_proba
 
@@ -416,8 +463,8 @@ def _generate_slow(params, config, args, key, gc_ids, seed_codes):
     silence = 0.0 if scalar else config.quantization_channels // 2
 
     @jax.jit
-    def one_step(window, sub):
-        probs = predict_proba(params, config, window, gc_ids)
+    def one_step(window, sub, lc_win=None):
+        probs = predict_proba(params, config, window, gc_ids, lc=lc_win)
         logits = jnp.log(jnp.maximum(probs, 1e-30))
         return jax.random.categorical(sub, logits / args.temperature,
                                       axis=-1)
@@ -426,6 +473,13 @@ def _generate_slow(params, config, args, key, gc_ids, seed_codes):
         window = np.asarray(seed_codes).astype(win_dtype)
     else:
         window = np.full((args.batch_size, 1), silence, win_dtype)
+    lc_np = np.asarray(lc) if lc is not None else None
+    lc_hist = None
+    if lc_np is not None:
+        # Conditioning for the pre-generation timeline (seed/silence):
+        # hold the first generated sample's features backward (same
+        # default as sample._lc_for_prime).
+        lc_hist = np.repeat(lc_np[:, :1], window.shape[1], axis=1)
     out = []
     for i in range(args.samples):
         key, sub = jax.random.split(key)
@@ -434,7 +488,21 @@ def _generate_slow(params, config, args, key, gc_ids, seed_codes):
         if win.shape[1] < rf:
             win = np.pad(win, ((0, 0), (rf - win.shape[1], 0)),
                          constant_values=silence)
-        code = np.asarray(one_step(jnp.asarray(win), sub))
+        if lc_np is None:
+            code = np.asarray(one_step(jnp.asarray(win), sub))
+        else:
+            # Rows shifted +1 vs the code window: the row for window
+            # position t is the conditioning of position t+1's
+            # prediction; the appended lc_np[:, i] conditions THIS draw.
+            hist = np.concatenate([lc_hist, lc_np[:, i:i + 1]], axis=1)
+            lc_win = hist[:, -rf:]
+            if lc_win.shape[1] < rf:
+                lc_win = np.concatenate(
+                    [np.repeat(lc_win[:, :1], rf - lc_win.shape[1], axis=1),
+                     lc_win], axis=1)
+            code = np.asarray(one_step(jnp.asarray(win), sub,
+                                       jnp.asarray(lc_win)))
+            lc_hist = hist
         nxt = (mu_law_decode_np(code, config.quantization_channels)
                .astype(np.float32) if scalar else code)
         window = np.concatenate([window, nxt[:, None]], axis=1)

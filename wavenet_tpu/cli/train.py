@@ -67,6 +67,18 @@ def get_arguments(argv=None):
     parser.add_argument("--gc_channels", type=int, default=None,
                         help="Global condition channels; enables speaker "
                              "conditioning.")
+    parser.add_argument("--lc_channels", type=int, default=None,
+                        help="Local condition channels (extension; the "
+                             "reference has GC only): enables per-timestep "
+                             "conditioning from <stem>.lc.npy sidecar "
+                             "files ([frames, lc_channels]) next to each "
+                             "wav.")
+    parser.add_argument("--lc_hop", type=int, default=None,
+                        help="Output samples per LC frame (at the model "
+                             "sample_rate). Required with --lc_channels.")
+    parser.add_argument("--lc_upsample", type=str, default="repeat",
+                        choices=["repeat", "linear"],
+                        help="How LC frames are upsampled to sample rate.")
     parser.add_argument("--max_checkpoints", type=int, default=MAX_TO_KEEP)
     parser.add_argument("--model_parallelism", type=int, default=1,
                         help="Chips per model replica (TPU-native extension; "
@@ -179,6 +191,11 @@ def main(argv=None):
         wavenet_params = json.load(f)
 
     gc_enabled = args.gc_channels is not None
+    lc_enabled = args.lc_channels is not None
+    if lc_enabled and args.lc_hop is None:
+        print("Some arguments are wrong:\n--lc_channels requires --lc_hop "
+              "(output samples per conditioning frame).")
+        return 1
 
     receptive_field_probe = WaveNetConfig.from_json(wavenet_params)
     reader = AudioReader(
@@ -193,12 +210,17 @@ def main(argv=None):
         # replacement makes any per-process offset valid).
         seed=(args.seed + jax.process_index()
               if args.seed is not None else None),
+        lc_enabled=lc_enabled,
+        lc_channels=args.lc_channels,
+        lc_hop=args.lc_hop,
+        lc_upsample=args.lc_upsample,
     )
 
     config = WaveNetConfig.from_json(
         wavenet_params,
         gc_channels=args.gc_channels,
         gc_cardinality=reader.gc_category_cardinality if gc_enabled else None,
+        lc_channels=args.lc_channels,
         compute_dtype=args.compute_dtype,
         remat=args.remat,
         use_pallas_stack=args.use_pallas_stack,
@@ -243,17 +265,19 @@ def main(argv=None):
             # each process feeds its own disjoint stream.
             audio = reader.dequeue(args.batch_size)
             gc_ids = reader.dequeue_gc(args.batch_size) if gc_enabled else None
+            lc = reader.dequeue_lc(args.batch_size) if lc_enabled else None
             if multihost:
-                audio, gc_ids = global_batch_from_local(audio, mesh, gc_ids)
+                audio, gc_ids, lc = global_batch_from_local(
+                    audio, mesh, gc_ids, lc)
             else:
-                audio, gc_ids = shard_batch(audio, mesh, gc_ids)
+                audio, gc_ids, lc = shard_batch(audio, mesh, gc_ids, lc)
 
             if args.store_metadata and step % 50 == 0:
                 with jax.profiler.trace(os.path.join(logdir, "profile")):
-                    state, metrics = train_step(state, audio, gc_ids)
+                    state, metrics = train_step(state, audio, gc_ids, lc)
                     jax.block_until_ready(metrics)
             else:
-                state, metrics = train_step(state, audio, gc_ids)
+                state, metrics = train_step(state, audio, gc_ids, lc)
 
             loss_value = float(jax.device_get(metrics["loss"]))
             if not np.isfinite(loss_value):

@@ -131,7 +131,19 @@ class AudioReader:
                  num_threads: int = 1,
                  seed: Optional[int] = None,
                  bucket_size: int = 16000,
-                 use_native: bool = True):
+                 use_native: bool = True,
+                 lc_enabled: bool = False,
+                 lc_channels: Optional[int] = None,
+                 lc_hop: Optional[int] = None,
+                 lc_upsample: str = "repeat"):
+        """``lc_*``: local-conditioning sidecars (new capability; no
+        reference counterpart). Each ``<stem>.wav`` must have a
+        ``<stem>.lc.npy`` float array [frames, lc_channels]; ``lc_hop``
+        is the number of OUTPUT samples (at ``sample_rate``, i.e. after
+        resampling) each frame covers. The stream is upsampled
+        (wavenet_tpu.lc.upsample_lc), trimmed/padded/chunked in lockstep
+        with the audio, and dequeued via :meth:`dequeue_lc`.
+        """
         self.audio_dir = audio_dir
         self.sample_rate = sample_rate
         self.gc_enabled = gc_enabled
@@ -140,6 +152,12 @@ class AudioReader:
         self.silence_threshold = silence_threshold
         self.bucket_size = bucket_size
         self.use_native = use_native
+        self.lc_enabled = lc_enabled
+        self.lc_channels = lc_channels
+        self.lc_hop = lc_hop
+        self.lc_upsample = lc_upsample
+        if lc_enabled and (lc_channels is None or lc_hop is None):
+            raise ValueError("lc_enabled requires lc_channels and lc_hop")
         self._queue: "queue.Queue" = queue.Queue(maxsize=queue_size)
         self._threads: List[threading.Thread] = []
         self._stop = threading.Event()
@@ -164,8 +182,29 @@ class AudioReader:
 
     # -- worker ------------------------------------------------------------
 
+    def _load_lc(self, filename: str, n_samples: int) -> Optional[np.ndarray]:
+        """Upsampled conditioning [n_samples, C] for one decoded file."""
+        from wavenet_tpu.lc import (fit_lc_to_length, load_lc_sidecar,
+                                    upsample_lc)
+        feats = load_lc_sidecar(filename)
+        if feats is None:
+            raise ValueError(
+                f"Local conditioning is enabled but '{filename}' has no "
+                "<stem>.lc.npy sidecar.")
+        if feats.shape[1] != self.lc_channels:
+            raise ValueError(
+                f"'{filename}' sidecar has {feats.shape[1]} channels, "
+                f"expected lc_channels={self.lc_channels}")
+        lc = upsample_lc(feats, self.lc_hop, self.lc_upsample)
+        return fit_lc_to_length(lc, n_samples)
+
     def _thread_main(self, thread_index: int) -> None:
-        """Reference ``thread_main`` (≈:130-170): trim, pad, chunk, enqueue."""
+        """Reference ``thread_main`` (≈:130-170): trim, pad, chunk, enqueue.
+
+        With local conditioning, the upsampled sidecar stream is sliced,
+        padded and chunked in LOCKSTEP with the audio (trim indices,
+        receptive-field left-pad, overlapping chunk windows all shared).
+        """
         rng = random.Random(None if self._seed is None
                             else self._seed + thread_index)
         iterator = load_generic_audio(self.audio_dir, self.sample_rate, rng,
@@ -173,9 +212,15 @@ class AudioReader:
         for audio, filename, category_id in iterator:
             if self._stop.is_set():
                 return
+            lc = (self._load_lc(filename, len(audio))
+                  if self.lc_enabled else None)
             if self.silence_threshold is not None:
-                audio = self._trim(audio[:, 0])
-                audio = audio.reshape(-1, 1)
+                if lc is not None:
+                    start, end = self._trim_indices(audio[:, 0])
+                    audio = audio[start:end]
+                    lc = lc[start:end]
+                else:
+                    audio = self._trim(audio[:, 0]).reshape(-1, 1)
                 if audio.size == 0:
                     warnings.warn(
                         f"Warning: {filename} was ignored as it contains "
@@ -185,23 +230,35 @@ class AudioReader:
                     continue
 
             # Left-pad with receptive_field silence so the first real
-            # sample has a full (zero) context (≈:150).
+            # sample has a full (zero) context (≈:150). The conditioning
+            # stream gets matching zeros (silent context, null features).
             audio = np.pad(audio, [[self.receptive_field, 0], [0, 0]],
                            mode="constant")
+            if lc is not None:
+                lc = np.pad(lc, [[self.receptive_field, 0], [0, 0]],
+                            mode="constant")
 
             if self.sample_size:
                 # Overlapping chunks: advance by sample_size, keep the
                 # trailing receptive_field as context for the next chunk.
+                width = self.receptive_field + self.sample_size
                 while len(audio) > self.receptive_field:
-                    piece = audio[:self.receptive_field + self.sample_size]
-                    if len(piece) < self.receptive_field + self.sample_size:
+                    piece = audio[:width]
+                    lc_piece = lc[:width] if lc is not None else None
+                    if len(piece) < width:
                         piece = np.pad(
-                            piece,
-                            [[0, self.receptive_field + self.sample_size
-                              - len(piece)], [0, 0]],
+                            piece, [[0, width - len(piece)], [0, 0]],
                             mode="constant")
-                    self._put((piece[:, 0].astype(np.float32), category_id))
+                        if lc_piece is not None:
+                            lc_piece = np.pad(
+                                lc_piece,
+                                [[0, width - len(lc_piece)], [0, 0]],
+                                mode="constant")
+                    self._put((piece[:, 0].astype(np.float32), category_id,
+                               lc_piece))
                     audio = audio[self.sample_size:]
+                    if lc is not None:
+                        lc = lc[self.sample_size:]
             else:
                 # Whole-utterance mode: pad up to a bucket multiple for
                 # static jit shapes.
@@ -209,7 +266,12 @@ class AudioReader:
                 bucketed = -(-n // self.bucket_size) * self.bucket_size
                 piece = np.pad(audio, [[0, bucketed - n], [0, 0]],
                                mode="constant")
-                self._put((piece[:, 0].astype(np.float32), category_id))
+                lc_piece = None
+                if lc is not None:
+                    lc_piece = np.pad(lc, [[0, bucketed - n], [0, 0]],
+                                      mode="constant")
+                self._put((piece[:, 0].astype(np.float32), category_id,
+                           lc_piece))
 
     def _trim(self, audio: np.ndarray) -> np.ndarray:
         if self.use_native:
@@ -218,6 +280,17 @@ class AudioReader:
             if trimmed is not None:
                 return trimmed
         return trim_silence(audio, self.silence_threshold)
+
+    def _trim_indices(self, audio: np.ndarray) -> Tuple[int, int]:
+        """(start, end) of the kept region — lets LC slice in lockstep.
+
+        The native C++ trimmer returns only the trimmed signal, so LC
+        mode uses the index-returning Python implementation (identical
+        energies; the native path is a decode-speed optimization, not a
+        numerics one).
+        """
+        from wavenet_tpu.audio import trim_silence_indices
+        return trim_silence_indices(audio, self.silence_threshold)
 
     def _put(self, item) -> None:
         while not self._stop.is_set():
@@ -247,6 +320,8 @@ class AudioReader:
         batch = [self._queue.get() for _ in range(num_elements)]
         self._last_ids = np.asarray(
             [0 if b[1] is None else b[1] for b in batch], dtype=np.int32)
+        self._last_lc = (np.stack([b[2] for b in batch])
+                         if self.lc_enabled else None)
         return np.stack([b[0] for b in batch])
 
     def dequeue_gc(self, num_elements: int) -> np.ndarray:
@@ -260,6 +335,16 @@ class AudioReader:
             raise RuntimeError("dequeue_gc() must follow dequeue().")
         assert len(self._last_ids) == num_elements
         return self._last_ids
+
+    def dequeue_lc(self, num_elements: int) -> np.ndarray:
+        """Conditioning [batch, rf + sample_size, lc_channels] for the
+        batch returned by the LAST dequeue() call (lockstep, like gc)."""
+        if not hasattr(self, "_last_lc") or self._last_lc is None:
+            raise RuntimeError(
+                "dequeue_lc() must follow dequeue() on an lc_enabled "
+                "reader.")
+        assert len(self._last_lc) == num_elements
+        return self._last_lc
 
     def __enter__(self):
         self.start_threads()

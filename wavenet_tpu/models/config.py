@@ -41,6 +41,13 @@ class WaveNetConfig:
     # Global conditioning (the fork's signature feature): speaker embedding.
     gc_channels: Optional[int] = None
     gc_cardinality: Optional[int] = None
+    # Local conditioning (WaveNet paper §2.5 — NEW capability, the
+    # reference never shipped it): a per-timestep feature stream (e.g.
+    # linguistic features or mel frames, upsampled to sample rate — see
+    # wavenet_tpu.lc) added to every layer's filter/gate pre-activations
+    # through per-layer 1x1 projections. ``lc_channels`` is the feature
+    # dim as seen by the network (post-upsampling).
+    lc_channels: Optional[int] = None
     # TPU-specific: compute dtype for the conv stack. Params always live in
     # fp32; 'bfloat16' casts activations/weights at the conv inputs and
     # accumulates in fp32 on the MXU. Use 'float32' for reference parity.
@@ -82,6 +89,10 @@ class WaveNetConfig:
         return self.gc_channels is not None
 
     @property
+    def lc_enabled(self) -> bool:
+        return self.lc_channels is not None
+
+    @property
     def num_layers(self) -> int:
         return len(self.dilations)
 
@@ -102,6 +113,9 @@ class WaveNetConfig:
         "filter_width", "sample_rate", "dilations", "residual_channels",
         "dilation_channels", "skip_channels", "quantization_channels",
         "use_biases", "scalar_input", "initial_filter_width",
+        # Extension key (absent from reference param files, which load
+        # unchanged): local-conditioning feature dim.
+        "lc_channels",
     )
 
     @classmethod

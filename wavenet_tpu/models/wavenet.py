@@ -84,6 +84,7 @@ def init_params(key: jax.Array, config: WaveNetConfig) -> Params:
         dense                     [L, D, R]
         skip                      [L, D, S]
         gc_filter, gc_gate        [L, G, D]          (if GC)
+        lc_filter, lc_gate        [L, C_lc, D]       (if LC)
         filter_bias, gate_bias    [L, D]             (if use_biases)
         dense_bias                [L, R]             (if use_biases)
         skip_bias                 [L, S]             (if use_biases)
@@ -121,6 +122,15 @@ def init_params(key: jax.Array, config: WaveNetConfig) -> Params:
             next(keys), c.gc_cardinality, G)
         params["gc_filter"] = _xavier_uniform(next(keys), (L, 1, G, D))[:, 0]
         params["gc_gate"] = _xavier_uniform(next(keys), (L, 1, G, D))[:, 0]
+
+    if c.lc_enabled:
+        # Local conditioning (new capability — WaveNet paper §2.5, no
+        # reference counterpart): per-layer 1x1 projections of the
+        # upsampled feature stream into the filter/gate pre-activations,
+        # same shape family as the GC projections.
+        Cl = c.lc_channels
+        params["lc_filter"] = _xavier_uniform(next(keys), (L, 1, Cl, D))[:, 0]
+        params["lc_gate"] = _xavier_uniform(next(keys), (L, 1, Cl, D))[:, 0]
 
     if c.use_biases:
         params["filter_bias"] = jnp.zeros((L, D))
@@ -193,7 +203,8 @@ def forward(params: Params, config: WaveNetConfig,
             network_input: jnp.ndarray,
             gc_embedding: Optional[jnp.ndarray] = None,
             head_from: int = 0,
-            collect_layer_inputs: Optional[Tuple[int, ...]] = None):
+            collect_layer_inputs: Optional[Tuple[int, ...]] = None,
+            lc: Optional[jnp.ndarray] = None):
     """Full-length forward pass: [B, T, C_in] -> logits [B, T, Q].
 
     ``network_input`` is one-hot mu-law floats (or [B, T, 1] raw amplitude
@@ -201,6 +212,13 @@ def forward(params: Params, config: WaveNetConfig,
     position t is the model's prediction for input position t+1; only
     positions t >= receptive_field - 1 have a full receptive field (and are
     exactly equal to the reference's VALID-conv outputs).
+
+    ``lc`` (local conditioning, new capability): [B, T, C_lc] feature
+    stream, same length as the input. Alignment convention: ``lc[:, t]``
+    conditions OUTPUT position t — i.e. the prediction of timeline
+    sample t+1 (the paper's p(x_t | x_<t, h_t) with h upsampled to
+    sample rate; see wavenet_tpu.lc for upsampling). The incremental
+    samplers use the identical convention, so fast ≡ slow holds with LC.
 
     Mirrors reference ``_create_network`` (model.py ≈:435-500):
     causal layer -> L gated dilation layers accumulating skips ->
@@ -216,13 +234,14 @@ def forward(params: Params, config: WaveNetConfig,
     # Initial causal layer (reference ``_create_causal_layer`` ≈:265).
     current = causal_conv_padded(x, causal_w, dilation=1, precision=precision)
     return _dilated_stack(params, c, current, gc_embedding, compute_dtype,
-                          precision, head_from, collect_layer_inputs)
+                          precision, head_from, collect_layer_inputs, lc)
 
 
 def _dilated_stack(params: Params, c: WaveNetConfig, current: jnp.ndarray,
                    gc_embedding: Optional[jnp.ndarray], compute_dtype,
                    precision, head_from: int = 0,
-                   collect_layer_inputs: Optional[Tuple[int, ...]] = None):
+                   collect_layer_inputs: Optional[Tuple[int, ...]] = None,
+                   lc: Optional[jnp.ndarray] = None):
     """Gated dilation layers + skip sum + postprocessing head.
 
     Layer math parity with reference ``_create_dilation_layer``
@@ -253,8 +272,19 @@ def _dilated_stack(params: Params, c: WaveNetConfig, current: jnp.ndarray,
     gc = None
     if gc_embedding is not None:
         gc = _maybe_cast(gc_embedding, c)  # [B, G]
+    lc_c = None
+    if lc is not None:
+        if lc.shape[1] != current.shape[1]:
+            raise ValueError(
+                f"lc length {lc.shape[1]} must match the input length "
+                f"{current.shape[1]} (one conditioning vector per input "
+                "position)")
+        lc_c = _maybe_cast(lc, c)          # [B, T, C_lc]
 
-    if c.use_pallas_stack and collect_layer_inputs is None:
+    # The fused-stack kernels don't take a per-timestep conditioning
+    # stream; LC routes through the XLA path (whose per-layer einsum adds
+    # fuse into the conv epilogues anyway).
+    if c.use_pallas_stack and collect_layer_inputs is None and lc_c is None:
         if c.filter_width != 2:
             raise NotImplementedError(
                 "use_pallas_stack requires filter_width=2")
@@ -285,6 +315,16 @@ def _dilated_stack(params: Params, c: WaveNetConfig, current: jnp.ndarray,
             conv_filter = conv_filter + gcf
             conv_gate = conv_gate + gcg
 
+        if lc_c is not None:
+            conv_filter = conv_filter + jnp.einsum(
+                "btc,cd->btd", lc_c,
+                _maybe_cast(layer_params["lc_filter"], c),
+                precision=precision)
+            conv_gate = conv_gate + jnp.einsum(
+                "btc,cd->btd", lc_c,
+                _maybe_cast(layer_params["lc_gate"], c),
+                precision=precision)
+
         if use_biases:
             conv_filter = conv_filter + _maybe_cast(layer_params["filter_bias"], c)
             conv_gate = conv_gate + _maybe_cast(layer_params["gate_bias"], c)
@@ -305,6 +345,8 @@ def _dilated_stack(params: Params, c: WaveNetConfig, current: jnp.ndarray,
         layer_keys += ["filter_bias", "gate_bias", "dense_bias"]
     if gc is not None:
         layer_keys += ["gc_filter", "gc_gate"]
+    if lc_c is not None:
+        layer_keys += ["lc_filter", "lc_gate"]
 
     gate_outs = []
     layer_inputs = []
@@ -350,7 +392,8 @@ def forward_codes(params: Params, config: WaveNetConfig,
                   codes: jnp.ndarray,
                   gc_embedding: Optional[jnp.ndarray] = None,
                   head_from: int = 0,
-                  collect_layer_inputs: Optional[Tuple[int, ...]] = None):
+                  collect_layer_inputs: Optional[Tuple[int, ...]] = None,
+                  lc: Optional[jnp.ndarray] = None):
     """Forward pass from integer mu-law codes [B, T] (no one-hot tensor).
 
     The initial causal conv applied to one-hot input is algebraically a
@@ -377,7 +420,7 @@ def forward_codes(params: Params, config: WaveNetConfig,
         current = current.at[:, shift:, :].add(tap)
     current = current.astype(compute_dtype)
     return _dilated_stack(params, c, current, gc_embedding, compute_dtype,
-                          precision, head_from, collect_layer_inputs)
+                          precision, head_from, collect_layer_inputs, lc)
 
 
 def _dilated_stack_pallas(params: Params, c: WaveNetConfig,
@@ -463,20 +506,23 @@ def _dilated_stack_pallas(params: Params, c: WaveNetConfig,
 
 def predict_proba(params: Params, config: WaveNetConfig,
                   waveform: jnp.ndarray,
-                  gc_ids: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                  gc_ids: Optional[jnp.ndarray] = None,
+                  lc: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Probabilities of the NEXT sample given an encoded window.
 
     ``waveform``: int mu-law classes [B, T] (or float amplitudes [B, T] in
     scalar-input mode). Returns softmax probs [B, Q] for sample T (parity
     with reference ``predict_proba`` ≈:630, which runs the full network on
-    the window and softmaxes the last output position).
+    the window and softmaxes the last output position). ``lc``: [B, T,
+    C_lc] — lc[:, t] conditions the prediction of position t+1, so the
+    returned distribution is conditioned on lc[:, -1].
     """
     gc_emb = embed_gc(params, config, gc_ids) if gc_ids is not None else None
     if config.scalar_input:
         net_in = waveform[..., None].astype(jnp.float32)
-        logits = forward(params, config, net_in, gc_emb)
+        logits = forward(params, config, net_in, gc_emb, lc=lc)
     else:
-        logits = forward_codes(params, config, waveform, gc_emb)
+        logits = forward_codes(params, config, waveform, gc_emb, lc=lc)
     return jax.nn.softmax(logits[:, -1, :], axis=-1)
 
 
@@ -487,7 +533,8 @@ def predict_proba(params: Params, config: WaveNetConfig,
 def loss_fn(params: Params, config: WaveNetConfig,
             audio_batch: jnp.ndarray,
             gc_ids: Optional[jnp.ndarray] = None,
-            l2_regularization_strength: Optional[float] = None):
+            l2_regularization_strength: Optional[float] = None,
+            lc: Optional[jnp.ndarray] = None):
     """Teacher-forced cross-entropy (reference ``loss`` model.py ≈:675-740).
 
     ``audio_batch``: float waveform [B, T] (already left-padded with
@@ -508,18 +555,29 @@ def loss_fn(params: Params, config: WaveNetConfig,
 
     encoded = mu_law_encode(audio_batch, c.quantization_channels)  # [B, T]
     gc_emb = embed_gc(params, c, gc_ids) if gc_ids is not None else None
+    # LC stream [B, T, C_lc] rides the audio timeline; lc[:, t] conditions
+    # the prediction OF sample t, so the forward (whose output position j
+    # predicts input position j+1) receives lc[:, 1:] — same length as
+    # the [:, :-1] input slice.
+    lc_in = None
+    if lc is not None:
+        if lc.shape[:2] != audio_batch.shape[:2]:
+            raise ValueError(
+                f"lc shape {lc.shape} must align with the audio batch "
+                f"{audio_batch.shape} (one conditioning vector per sample)")
+        lc_in = lc[:, 1:]
     # head_from = rf-1: only the positions the loss keeps go through the
     # skip/postprocess head (identical numerics, ~16% fewer head FLOPs
     # at the paper config's rf/sample_size ratio).
     if c.scalar_input:
         network_input = audio_batch[:, :-1, None].astype(jnp.float32)
         raw_output = forward(params, c, network_input, gc_emb,
-                             head_from=rf - 1)
+                             head_from=rf - 1, lc=lc_in)
     else:
         # Integer-code path: the one-hot x conv collapses to a weight-row
         # gather (forward_codes) — no [B, T, Q] input tensor.
         raw_output = forward_codes(params, c, encoded[:, :-1], gc_emb,
-                                   head_from=rf - 1)
+                                   head_from=rf - 1, lc=lc_in)
 
     prediction = raw_output
     target = encoded[:, rf:]

@@ -75,19 +75,24 @@ def make_global_mesh(model_parallelism: int = 1) -> Mesh:
 
 
 def global_batch_from_local(local_audio: np.ndarray, mesh: Mesh,
-                            local_gc_ids: Optional[np.ndarray] = None):
+                            local_gc_ids: Optional[np.ndarray] = None,
+                            local_lc: Optional[np.ndarray] = None):
     """Host-local [b_local, T] batches -> one global [b_global, T] array.
 
     Every host calls this with ITS shard of the global batch (the data
     reader is seeded per-process, reference sampling-with-replacement
     semantics make disjoint streams trivial); the result behaves like a
     single array of shape [b_local * process_count, T] sharded over the
-    data axis.
+    data axis. ``local_lc`` [b_local, T, C] rides the same data axis.
     """
     audio = jax.make_array_from_process_local_data(
         NamedSharding(mesh, P(DATA_AXIS, None)), local_audio)
-    if local_gc_ids is None:
-        return audio, None
-    gc = jax.make_array_from_process_local_data(
-        NamedSharding(mesh, P(DATA_AXIS)), local_gc_ids)
-    return audio, gc
+    gc = None
+    if local_gc_ids is not None:
+        gc = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(DATA_AXIS)), local_gc_ids)
+    lc = None
+    if local_lc is not None:
+        lc = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(DATA_AXIS, None, None)), local_lc)
+    return audio, gc, lc

@@ -70,6 +70,10 @@ def param_partition_specs(config: WaveNetConfig, params_like) -> dict:
         specs["gc_embedding"] = P(None, None)
         specs["gc_filter"] = P(None, None, MODEL_AXIS)
         specs["gc_gate"] = P(None, None, MODEL_AXIS)
+    if c.lc_enabled:
+        # Column parallel with filter/gate, like the GC projections.
+        specs["lc_filter"] = P(None, None, MODEL_AXIS)
+        specs["lc_gate"] = P(None, None, MODEL_AXIS)
     if c.use_biases:
         specs["filter_bias"] = P(None, MODEL_AXIS)
         specs["gate_bias"] = P(None, MODEL_AXIS)
@@ -120,10 +124,17 @@ def shard_train_state(state, config: WaveNetConfig, mesh: Mesh):
     return TrainState(step=step, params=params, opt_state=opt_state)
 
 
-def shard_batch(audio: np.ndarray, mesh: Mesh, gc_ids=None):
-    """Shard a host batch over the data axis."""
+def shard_batch(audio: np.ndarray, mesh: Mesh, gc_ids=None, lc=None):
+    """Shard a host batch over the data axis.
+
+    Returns (audio, gc_ids, lc) — unused streams come back as None.
+    """
     audio_s = jax.device_put(audio, NamedSharding(mesh, batch_spec()))
-    if gc_ids is None:
-        return audio_s, None
-    return audio_s, jax.device_put(gc_ids,
-                                   NamedSharding(mesh, P(DATA_AXIS)))
+    gc_s = None
+    if gc_ids is not None:
+        gc_s = jax.device_put(gc_ids, NamedSharding(mesh, P(DATA_AXIS)))
+    lc_s = None
+    if lc is not None:
+        lc_s = jax.device_put(lc,
+                              NamedSharding(mesh, P(DATA_AXIS, None, None)))
+    return audio_s, gc_s, lc_s

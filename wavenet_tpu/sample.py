@@ -69,14 +69,17 @@ def init_sampler_state(config: WaveNetConfig, batch_size: int) -> SamplerState:
 def sampler_step(params: Params, config: WaveNetConfig, state: SamplerState,
                  x: jnp.ndarray,
                  gc_embedding: Optional[jnp.ndarray] = None,
-                 collect_layer_inputs: bool = False):
+                 collect_layer_inputs: bool = False,
+                 lc_t: Optional[jnp.ndarray] = None):
     """One incremental network evaluation.
 
     ``x``: current input features [B, C_in] (one-hot mu-law, or amplitude
-    [B, 1] in scalar mode). Returns (new_state, logits [B, Q]) — plus a
-    stacked [L, B, R] of each layer's input (the residual stream) when
-    ``collect_layer_inputs`` is set (speculative decoding commits the
-    draft state from these without a second stack pass).
+    [B, 1] in scalar mode). ``lc_t``: [B, C_lc] local-conditioning vector
+    for the sample this step PREDICTS (same convention as
+    ``models.wavenet.forward``). Returns (new_state, logits [B, Q]) —
+    plus a stacked [L, B, R] of each layer's input (the residual stream)
+    when ``collect_layer_inputs`` is set (speculative decoding commits
+    the draft state from these without a second stack pass).
 
     Mirrors the reference's ``_generator_dilation_layer`` math
     (model.py ≈:365-430): every conv collapses to matmuls on the current
@@ -117,6 +120,9 @@ def sampler_step(params: Params, config: WaveNetConfig, state: SamplerState,
         if gc_embedding is not None:
             conv_f = conv_f + gc_embedding @ params["gc_filter"][i]
             conv_g = conv_g + gc_embedding @ params["gc_gate"][i]
+        if lc_t is not None:
+            conv_f = conv_f + lc_t @ params["lc_filter"][i]
+            conv_g = conv_g + lc_t @ params["lc_gate"][i]
         if c.use_biases:
             conv_f = conv_f + params["filter_bias"][i]
             conv_g = conv_g + params["gate_bias"][i]
@@ -168,21 +174,35 @@ def _code_to_input(code: jnp.ndarray, config: WaveNetConfig) -> jnp.ndarray:
 
 def prime_state(params: Params, config: WaveNetConfig, state: SamplerState,
                 waveform: jnp.ndarray,
-                gc_embedding: Optional[jnp.ndarray] = None) -> SamplerState:
+                gc_embedding: Optional[jnp.ndarray] = None,
+                lc: Optional[jnp.ndarray] = None) -> SamplerState:
     """Push a seed waveform through the queues without sampling.
 
     ``waveform``: [B, T_seed] int codes (or float amplitudes in scalar
-    mode). Equivalent to the reference's seed-priming loop
-    (generate.py ≈:180: run next_sample+push_ops per seed sample, discard
-    predictions). Kept as the sequential parity oracle;
-    ``prefill_state`` computes the same state in one parallel forward.
+    mode). ``lc``: [B, T_seed, C_lc] — lc[:, j] is the conditioning of
+    the (discarded) prediction made after consuming waveform[:, j]; it
+    still shapes the queue state through the gate outputs. Equivalent to
+    the reference's seed-priming loop (generate.py ≈:180: run
+    next_sample+push_ops per seed sample, discard predictions). Kept as
+    the sequential parity oracle; ``prefill_state`` computes the same
+    state in one parallel forward.
     """
-    def body(st, x_t):
-        st, _ = sampler_step(params, config, st, _featurize(x_t, config),
-                             gc_embedding)
-        return st, None
+    if lc is None:
+        def body(st, x_t):
+            st, _ = sampler_step(params, config, st,
+                                 _featurize(x_t, config), gc_embedding)
+            return st, None
+        xs = jnp.moveaxis(waveform, 1, 0)
+    else:
+        def body(st, xs_t):
+            x_t, lc_t = xs_t
+            st, _ = sampler_step(params, config, st,
+                                 _featurize(x_t, config), gc_embedding,
+                                 lc_t=lc_t)
+            return st, None
+        xs = (jnp.moveaxis(waveform, 1, 0), jnp.moveaxis(lc, 1, 0))
 
-    state, _ = lax.scan(body, state, jnp.moveaxis(waveform, 1, 0))
+    state, _ = lax.scan(body, state, xs)
     return state
 
 
@@ -213,7 +233,8 @@ def ring_slot_blocks(layer_ins, dilations, T: int):
 @partial(jax.jit, static_argnames=("config",))
 def prefill_state(params: Params, config: WaveNetConfig,
                   waveform: jnp.ndarray,
-                  gc_embedding: Optional[jnp.ndarray] = None) -> SamplerState:
+                  gc_embedding: Optional[jnp.ndarray] = None,
+                  lc: Optional[jnp.ndarray] = None) -> SamplerState:
     """``prime_state`` in ONE parallel conv forward (prefill/decode split).
 
     The queue state after teacher-forcing ``waveform`` [B, T] is, layer
@@ -241,10 +262,11 @@ def prefill_state(params: Params, config: WaveNetConfig,
     if c.scalar_input:
         layer_ins = forward(params, cfg32,
                             waveform[..., None].astype(jnp.float32),
-                            gc_embedding, collect_layer_inputs=keep)
+                            gc_embedding, collect_layer_inputs=keep, lc=lc)
     else:
         layer_ins = forward_codes(params, cfg32, waveform.astype(jnp.int32),
-                                  gc_embedding, collect_layer_inputs=keep)
+                                  gc_embedding, collect_layer_inputs=keep,
+                                  lc=lc)
 
     # Slot tau % d_l holds x_l(tau) for the last min(d_l, T) positions;
     # unwritten slots (and slots >= d_l) stay zero, as in init state.
@@ -272,7 +294,8 @@ def prefill_state(params: Params, config: WaveNetConfig,
 def extend_state(params: Params, config: WaveNetConfig,
                  state: SamplerState, codes: jnp.ndarray,
                  gc_embedding: Optional[jnp.ndarray] = None,
-                 valid_len: Optional[jnp.ndarray] = None):
+                 valid_len: Optional[jnp.ndarray] = None,
+                 lc: Optional[jnp.ndarray] = None):
     """Advance the sampler state by up to k teacher-forced steps in ONE
     parallel pass: (logits [B, k, Q], new_state).
 
@@ -295,7 +318,7 @@ def extend_state(params: Params, config: WaveNetConfig,
     register is a dynamic slice at v, and t advances by v.
     """
     logits, parts = _extend_forward(params, config, state, codes,
-                                    gc_embedding)
+                                    gc_embedding, lc)
     v = jnp.int32(codes.shape[1]) if valid_len is None \
         else jnp.int32(valid_len)
     return logits, _extend_commit(config, state, parts, v)
@@ -309,7 +332,8 @@ def _ordered_ring(layer_bufs: jnp.ndarray, l: int, d: int, t):
 
 def _extend_forward(params: Params, config: WaveNetConfig,
                     state: SamplerState, codes: jnp.ndarray,
-                    gc_embedding: Optional[jnp.ndarray]):
+                    gc_embedding: Optional[jnp.ndarray],
+                    lc: Optional[jnp.ndarray] = None):
     """Stack pass of ``extend_state``: (logits [B, k, Q], parts).
 
     ``parts`` carries the per-layer time-extended windows
@@ -361,6 +385,15 @@ def _extend_forward(params: Params, config: WaveNetConfig,
         if gc_embedding is not None:
             conv_f = conv_f + (gc_embedding @ params["gc_filter"][l])[:, None]
             conv_g = conv_g + (gc_embedding @ params["gc_gate"][l])[:, None]
+        if lc is not None:
+            # lc [B, k, C_lc]: column j conditions the prediction at
+            # window position j (same per-step convention as sampler_step).
+            conv_f = conv_f + jnp.einsum("bkc,cd->bkd", lc,
+                                         params["lc_filter"][l],
+                                         precision=prec)
+            conv_g = conv_g + jnp.einsum("bkc,cd->bkd", lc,
+                                         params["lc_gate"][l],
+                                         precision=prec)
         if c.use_biases:
             conv_f = conv_f + params["filter_bias"][l]
             conv_g = conv_g + params["gate_bias"][l]
@@ -427,23 +460,38 @@ def generate_codes_resumable(params: Params, config: WaveNetConfig,
                              state: SamplerState, first_input: jnp.ndarray,
                              n_samples: int, key: jax.Array,
                              temperature: float = 1.0,
-                             gc_embedding: Optional[jnp.ndarray] = None):
+                             gc_embedding: Optional[jnp.ndarray] = None,
+                             lc: Optional[jnp.ndarray] = None):
     """Sample n codes; also return (state, next_input) for continuation.
 
     One XLA program for the whole chunk: state donated, logits never
     leave the device (contrast: reference generate.py ≈:190 does one
     sess.run per sample). The returned carry lets callers generate in
     chunks (e.g. --save_every partial wav dumps) with zero recompute.
+    ``lc``: [B, n_samples, C_lc] — lc[:, j] conditions generated sample j.
     """
     keys = jax.random.split(key, n_samples)
 
-    def body(carry, key_t):
-        st, x = carry
-        st, logits = sampler_step(params, config, st, x, gc_embedding)
-        code = jax.random.categorical(key_t, logits / temperature, axis=-1)
-        return (st, _code_to_input(code, config)), code
+    if lc is None:
+        def body(carry, key_t):
+            st, x = carry
+            st, logits = sampler_step(params, config, st, x, gc_embedding)
+            code = jax.random.categorical(key_t, logits / temperature,
+                                          axis=-1)
+            return (st, _code_to_input(code, config)), code
+        xs = keys
+    else:
+        def body(carry, xs_t):
+            key_t, lc_t = xs_t
+            st, x = carry
+            st, logits = sampler_step(params, config, st, x, gc_embedding,
+                                      lc_t=lc_t)
+            code = jax.random.categorical(key_t, logits / temperature,
+                                          axis=-1)
+            return (st, _code_to_input(code, config)), code
+        xs = (keys, jnp.moveaxis(lc, 1, 0))
 
-    (state, next_input), codes = lax.scan(body, (state, first_input), keys)
+    (state, next_input), codes = lax.scan(body, (state, first_input), xs)
     return jnp.moveaxis(codes, 0, 1), state, next_input
 
 
@@ -451,11 +499,12 @@ def generate_codes(params: Params, config: WaveNetConfig,
                    state: SamplerState, first_input: jnp.ndarray,
                    n_samples: int, key: jax.Array,
                    temperature: float = 1.0,
-                   gc_embedding: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                   gc_embedding: Optional[jnp.ndarray] = None,
+                   lc: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Sample ``n_samples`` mu-law codes autoregressively. Returns [B, n]."""
     codes, _, _ = generate_codes_resumable(
         params, config, state, first_input, n_samples, key, temperature,
-        gc_embedding)
+        gc_embedding, lc)
     return codes
 
 
@@ -519,19 +568,50 @@ def generate_sharded(params: Params, config: WaveNetConfig, n_samples: int,
                           n_samples, key_gen, temperature, gc_emb)
 
 
+def _lc_for_prime(lc: Optional[jnp.ndarray],
+                  lc_prime: Optional[jnp.ndarray],
+                  n_prime: int) -> Optional[jnp.ndarray]:
+    """Conditioning for the priming region (length n_prime).
+
+    When the caller gives none, hold the first generated sample's
+    conditioning backward in time (edge extension) — the natural choice
+    for features that vary slowly relative to the receptive field.
+    """
+    if lc is None:
+        return None
+    if lc_prime is not None:
+        if lc_prime.shape[1] != n_prime:
+            raise ValueError(f"lc_prime length {lc_prime.shape[1]} != "
+                             f"priming length {n_prime}")
+        return lc_prime
+    B, _, C = lc.shape
+    return jnp.broadcast_to(lc[:, :1], (B, n_prime, C))
+
+
 def generate(params: Params, config: WaveNetConfig, n_samples: int,
              key: jax.Array, batch_size: int = 1,
              gc_ids: Optional[jnp.ndarray] = None,
              temperature: float = 1.0,
-             seed_codes: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+             seed_codes: Optional[jnp.ndarray] = None,
+             lc: Optional[jnp.ndarray] = None,
+             lc_prime: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """End-to-end generation -> mu-law codes [B, n_samples].
 
     Without a seed, the queues are primed with receptive_field-1 silence
     codes (Q//2 — mu-law code of amplitude ~0) followed by one random
     sample, matching the reference's unseeded start (generate.py ≈:170).
+
+    Local conditioning: ``lc`` [B, n_samples, C_lc] gives one vector per
+    GENERATED sample; ``lc_prime`` [B, n_prime, C_lc] conditions the
+    priming region (n_prime = receptive_field-1 unseeded, len(seed)-1
+    seeded) and defaults to lc[:, 0] held backward in time.
     """
     c = config
     gc_emb = embed_gc(params, c, gc_ids) if gc_ids is not None else None
+    if c.lc_enabled and lc is None:
+        raise ValueError(
+            "config has lc_channels set: pass lc=[B, n_samples, "
+            f"{c.lc_channels}] (zeros for unconditioned sampling)")
 
     # One key discipline for every mode (scalar/seeded included) so
     # generate_sharded can reproduce the exact draws for parity.
@@ -540,26 +620,30 @@ def generate(params: Params, config: WaveNetConfig, n_samples: int,
     if c.scalar_input and seed_codes is not None:
         # In scalar mode the seed is raw amplitudes [B, T]; prime with the
         # amplitudes, then continue from the decoded last sample.
-        state = prefill_state(params, c, seed_codes[:, :-1], gc_emb)
+        lc_p = _lc_for_prime(lc, lc_prime, seed_codes.shape[1] - 1)
+        state = prefill_state(params, c, seed_codes[:, :-1], gc_emb, lc_p)
         first_input = seed_codes[:, -1][..., None].astype(jnp.float32)
         return generate_codes(params, c, state, first_input, n_samples,
-                              key_gen, temperature, gc_emb)
+                              key_gen, temperature, gc_emb, lc)
     if seed_codes is None:
+        n_prime = c.receptive_field - 1
+        lc_p = _lc_for_prime(lc, lc_prime, n_prime)
         if c.scalar_input:
-            silence = jnp.zeros((batch_size, c.receptive_field - 1),
-                                jnp.float32)
-            state = prefill_state(params, c, silence, gc_emb)
+            silence = jnp.zeros((batch_size, n_prime), jnp.float32)
+            state = prefill_state(params, c, silence, gc_emb, lc_p)
             first = jnp.zeros((batch_size,), jnp.float32)
             return generate_codes(params, c, state, first[..., None],
-                                  n_samples, key_gen, temperature, gc_emb)
-        silence = jnp.full((batch_size, c.receptive_field - 1),
+                                  n_samples, key_gen, temperature, gc_emb,
+                                  lc)
+        silence = jnp.full((batch_size, n_prime),
                            c.quantization_channels // 2, jnp.int32)
-        state = prefill_state(params, c, silence, gc_emb)
+        state = prefill_state(params, c, silence, gc_emb, lc_p)
         first = jax.random.randint(key_first, (batch_size,), 0,
                                    c.quantization_channels)
     else:
-        state = prefill_state(params, c, seed_codes[:, :-1], gc_emb)
+        lc_p = _lc_for_prime(lc, lc_prime, seed_codes.shape[1] - 1)
+        state = prefill_state(params, c, seed_codes[:, :-1], gc_emb, lc_p)
         first = seed_codes[:, -1]
 
     return generate_codes(params, c, state, _featurize(first, c),
-                          n_samples, key_gen, temperature, gc_emb)
+                          n_samples, key_gen, temperature, gc_emb, lc)

@@ -116,21 +116,25 @@ def generate_with_fallback(params, config, n_samples: int, *,
                            seed_codes=None,
                            sampler: str = "auto",
                            precision: str = "float32",
+                           lc=None,
                            log=print):
     """Generate with the fastest sampler that actually compiles.
 
     Returns (codes [B, n_samples], chosen_name, chosen_kwargs) where
     chosen_kwargs is None when the scan sampler ran — callers (the
     server) can cache the winning variant and skip the probe next time.
+    ``lc`` ([B, n_samples, C_lc] local conditioning) always routes to
+    the scan sampler — the Pallas kernels take no per-step feature
+    stream.
     """
     from wavenet_tpu.kernels.sampler import generate_pallas
     from wavenet_tpu.sample import generate
 
     n_forced = (int(seed_codes.shape[1]) if seed_codes is not None
                 else config.receptive_field)
-    for name, kw in sampler_attempts(config, batch_size,
-                                     n_samples + n_forced, sampler,
-                                     precision):
+    attempts = [] if lc is not None else sampler_attempts(
+        config, batch_size, n_samples + n_forced, sampler, precision)
+    for name, kw in attempts:
         try:
             codes = generate_pallas(
                 params, config, n_samples, seed=seed,
@@ -147,5 +151,5 @@ def generate_with_fallback(params, config, n_samples: int, *,
     log("Using lax.scan sampler.")
     codes = generate(params, config, n_samples, jax.random.PRNGKey(seed),
                      batch_size=batch_size, gc_ids=gc_ids,
-                     temperature=temperature, seed_codes=seed_codes)
+                     temperature=temperature, seed_codes=seed_codes, lc=lc)
     return codes, "scan", None

@@ -25,12 +25,15 @@ from wavenet_tpu.models.wavenet import Params, embed_gc, forward, forward_codes
 @partial(jax.jit, static_argnames=("config",))
 def log_likelihood(params: Params, config: WaveNetConfig,
                    audio: jnp.ndarray,
-                   gc_ids: Optional[jnp.ndarray] = None):
+                   gc_ids: Optional[jnp.ndarray] = None,
+                   lc: Optional[jnp.ndarray] = None):
     """Log-likelihoods of a waveform under the model.
 
     audio: float waveform [B, T] in [-1, 1] (NOT pre-padded; positions
     before the receptive field are scored with the available context,
-    causal-zero padded like training).
+    causal-zero padded like training). ``lc``: [B, T, C_lc] conditioning
+    on the audio timeline (lc[:, t] conditions the prediction OF sample
+    t — same convention as loss_fn).
 
     Returns a dict:
       logp_per_sample [B, T-1] — log p(x_{t+1} | x_{<=t}) for t=0..T-2
@@ -40,11 +43,12 @@ def log_likelihood(params: Params, config: WaveNetConfig,
     c = config
     codes = mu_law_encode(audio, c.quantization_channels)       # [B, T]
     gc_emb = embed_gc(params, c, gc_ids) if gc_ids is not None else None
+    lc_in = lc[:, 1:] if lc is not None else None
     if c.scalar_input:
         net_in = audio[:, :-1, None].astype(jnp.float32)
-        logits = forward(params, c, net_in, gc_emb)
+        logits = forward(params, c, net_in, gc_emb, lc=lc_in)
     else:
-        logits = forward_codes(params, c, codes[:, :-1], gc_emb)
+        logits = forward_codes(params, c, codes[:, :-1], gc_emb, lc=lc_in)
     logp = jax.nn.log_softmax(logits, axis=-1)                  # [B, T-1, Q]
     target = codes[:, 1:]
     # One-hot contraction, not take_along_axis: the gather lowers to a

@@ -176,6 +176,10 @@ def generate_speculative(params: Params, config: WaveNetConfig,
     """Generate ``n_samples`` mu-law codes [1, n] with speculative
     sampling — the output distribution is exactly the TARGET model's.
 
+    Local conditioning is not supported here (the draft/verify loops
+    carry no per-step feature stream); lc-enabled configs must use
+    ``sample.generate``.
+
     The draft can be any (smaller/cheaper) WaveNet with the same
     quantization_channels — but the SPEEDUP is its acceptance rate,
     which measures agreement with the target's free-running
@@ -211,6 +215,10 @@ def generate_speculative(params: Params, config: WaveNetConfig,
         raise NotImplementedError(
             "speculative decoding is mu-law-only (the autoregressive "
             "inputs are the emitted class codes)")
+    if c.lc_enabled or dc.lc_enabled:
+        raise NotImplementedError(
+            "speculative decoding does not take a local-conditioning "
+            "stream; use sample.generate for lc models")
     if dc.quantization_channels != c.quantization_channels:
         raise ValueError("draft and target must share "
                          "quantization_channels")

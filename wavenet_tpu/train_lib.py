@@ -64,11 +64,12 @@ def make_train_step(config: WaveNetConfig,
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, audio: jnp.ndarray,
-                   gc_ids: Optional[jnp.ndarray] = None
+                   gc_ids: Optional[jnp.ndarray] = None,
+                   lc: Optional[jnp.ndarray] = None
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, config, audio, gc_ids,
-            l2_regularization_strength)
+            l2_regularization_strength, lc)
         updates, new_opt_state = optimizer.update(
             grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
