@@ -386,3 +386,152 @@ def test_resumable_stream_three_segments(rng, monkeypatch):
         outs.append(np.asarray(seg))
     np.testing.assert_array_equal(np.concatenate(outs, axis=1),
                                   np.asarray(full))
+
+
+# ---------------------------------------------------------------------------
+# Local conditioning through the kernels
+# ---------------------------------------------------------------------------
+
+def _lc_cfg(**kw):
+    return small_config(lc_channels=3, **kw)
+
+
+def _lc_split(stream):
+    """Full [B, T, C] stream -> (lc_prime rows 0..T-2, lc row T-1) for a
+    forced run of T codes + 1 sampled step (generate_pallas convention:
+    kernel step t is conditioned by stream row t)."""
+    return stream[:, :-1], stream[:, -1:]
+
+
+def test_lc_forced_logits_match_forward(rng):
+    cfg = _lc_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    B, T = 2, cfg.receptive_field + 6
+    codes = jnp.asarray(rng.randint(0, cfg.quantization_channels, (B, T)))
+    stream = jnp.asarray(rng.standard_normal((B, T, 3)).astype(np.float32))
+    lc_prime, lc = _lc_split(stream)
+
+    _, logits = generate_pallas(
+        params, cfg, n_samples=1, seed=0, batch_size=B, seed_codes=codes,
+        lc=lc, lc_prime=lc_prime, collect_logits=True, interpret=True)
+
+    full = forward(params, cfg, one_hot(codes, cfg.quantization_channels),
+                   None, lc=stream)
+    np.testing.assert_allclose(np.asarray(logits[:, :T, :]),
+                               np.asarray(full), rtol=1e-4, atol=1e-5)
+
+
+def test_lc_stream_io_matches_vmem(rng, monkeypatch):
+    import wavenet_tpu.kernels.sampler as sampler_mod
+    monkeypatch.setattr(sampler_mod, "_IO_CHUNK", 8)
+
+    cfg = _lc_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    B, T = 2, cfg.receptive_field + 21
+    codes = jnp.asarray(rng.randint(0, cfg.quantization_channels, (B, T)))
+    stream = jnp.asarray(rng.standard_normal((B, T, 3)).astype(np.float32))
+    lc_prime, lc = _lc_split(stream)
+
+    _, ref = generate_pallas(
+        params, cfg, n_samples=1, seed=0, batch_size=B, seed_codes=codes,
+        lc=lc, lc_prime=lc_prime, collect_logits=True, interpret=True)
+    _, got = generate_pallas(
+        params, cfg, n_samples=1, seed=0, batch_size=B, seed_codes=codes,
+        lc=lc, lc_prime=lc_prime, collect_logits=True, ring_in_hbm=True,
+        stream_io=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_lc_prefill_matches_sequential(rng, monkeypatch):
+    import wavenet_tpu.kernels.sampler as sampler_mod
+    monkeypatch.setattr(sampler_mod, "_IO_CHUNK", 8)
+
+    cfg = _lc_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    B, T = 2, cfg.receptive_field + 4
+    codes = jnp.asarray(rng.randint(0, cfg.quantization_channels, (B, T)))
+    stream = jnp.asarray(rng.standard_normal((B, T, 3)).astype(np.float32))
+    lc_prime, lc = _lc_split(stream)
+
+    _, seq = generate_pallas(
+        params, cfg, n_samples=1, seed=0, batch_size=B, seed_codes=codes,
+        lc=lc, lc_prime=lc_prime, collect_logits=True, interpret=True)
+    _, pre = generate_pallas(
+        params, cfg, n_samples=1, seed=0, batch_size=B, seed_codes=codes,
+        lc=lc, lc_prime=lc_prime, collect_logits=True, prefill=True,
+        interpret=True)
+    # Prefill collects decode-phase logits only (the last position).
+    np.testing.assert_allclose(np.asarray(pre[:, -1]),
+                               np.asarray(seq[:, -1]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_lc_batch_chunked_matches_full(rng):
+    cfg = _lc_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    B, T = 4, cfg.receptive_field + 5
+    codes = jnp.asarray(rng.randint(0, cfg.quantization_channels, (B, T)))
+    stream = jnp.asarray(rng.standard_normal((B, T, 3)).astype(np.float32))
+    lc_prime, lc = _lc_split(stream)
+
+    _, ref = generate_pallas(
+        params, cfg, n_samples=1, seed=0, batch_size=B, seed_codes=codes,
+        lc=lc, lc_prime=lc_prime, collect_logits=True, interpret=True)
+    _, got = generate_pallas(
+        params, cfg, n_samples=1, seed=0, batch_size=B, seed_codes=codes,
+        lc=lc, lc_prime=lc_prime, collect_logits=True, interpret=True,
+        batch_chunk=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_lc_resumable_segments_equal_one_run(rng, monkeypatch):
+    """Resumed LC segments (stream sliced per segment) == one long run."""
+    import wavenet_tpu.kernels.sampler as sampler_mod
+    monkeypatch.setattr(sampler_mod, "_IO_CHUNK", 8)
+    from wavenet_tpu.kernels.sampler import generate_pallas_resumable
+
+    cfg = _lc_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    B, n = 2, 20
+    rf = cfg.receptive_field
+    seed_codes = jnp.asarray(
+        rng.randint(0, cfg.quantization_channels, (B, rf)))
+    lc = jnp.asarray(rng.standard_normal((B, n, 3)).astype(np.float32))
+
+    full = generate_pallas(params, cfg, n_samples=n, seed=0, batch_size=B,
+                           seed_codes=seed_codes, temperature=1e-6, lc=lc,
+                           prefill=True, interpret=True)
+
+    seg1, carry = generate_pallas_resumable(
+        params, cfg, n_samples=9, seed=0, batch_size=B,
+        seed_codes=seed_codes, temperature=1e-6, lc=lc[:, :9],
+        interpret=True)
+    seg2, carry = generate_pallas_resumable(
+        params, cfg, n_samples=11, seed=0, batch_size=B,
+        temperature=1e-6, carry=carry, lc=lc[:, 9:], interpret=True)
+    joined = np.concatenate([np.asarray(seg1), np.asarray(seg2)], axis=1)
+    np.testing.assert_array_equal(joined, np.asarray(full))
+
+
+def test_lc_scan_vs_pallas_free_run_argmax(rng):
+    """Greedy (T->0) free-running generation matches the scan sampler
+    with the same LC stream — the fast==slow keystone with LC, across
+    implementations (PRNG never matters at temperature ~ 0)."""
+    from wavenet_tpu.sample import generate
+
+    cfg = _lc_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    B, n = 2, 12
+    rf = cfg.receptive_field
+    seed_codes = jnp.asarray(
+        rng.randint(0, cfg.quantization_channels, (B, rf)))
+    lc = jnp.asarray(rng.standard_normal((B, n, 3)).astype(np.float32))
+
+    pal = generate_pallas(params, cfg, n_samples=n, seed=0, batch_size=B,
+                          seed_codes=seed_codes, temperature=1e-6, lc=lc,
+                          interpret=True)
+    scan = generate(params, cfg, n, jax.random.PRNGKey(0), batch_size=B,
+                    seed_codes=seed_codes, temperature=1e-6, lc=lc)
+    np.testing.assert_array_equal(np.asarray(pal), np.asarray(scan))

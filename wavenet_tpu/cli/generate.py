@@ -333,18 +333,17 @@ def _generate_fast_chunked(params, config, args, key, gc_ids, seed_codes,
                            wavenet_params, lc=None):
     """--save_every: generate in chunks, dumping the partial wav after
     each (reference generate.py ≈:225). Tries the resumable streamed
-    Pallas kernel first (state carries across segments in the HBM ring);
-    falls back to the resumable scan sampler on compile failure. Local
-    conditioning routes straight to the resumable scan sampler (the
-    Pallas kernels take no per-step feature stream)."""
+    Pallas kernel first (state carries across segments in the HBM ring;
+    local conditioning streams per segment); falls back to the resumable
+    scan sampler on compile failure."""
     from wavenet_tpu.sampler_select import is_compile_failure
 
-    if lc is None and args.sampler in ("auto", "pallas") \
+    if args.sampler in ("auto", "pallas") \
             and config.filter_width == 2 \
             and jax.devices()[0].platform != "cpu":
         try:
             return _generate_chunked_pallas(params, config, args, gc_ids,
-                                            seed_codes, wavenet_params)
+                                            seed_codes, wavenet_params, lc)
         except Exception as e:
             if not is_compile_failure(e):
                 raise
@@ -355,7 +354,7 @@ def _generate_fast_chunked(params, config, args, key, gc_ids, seed_codes,
 
 
 def _generate_chunked_pallas(params, config, args, gc_ids, seed_codes,
-                             wavenet_params):
+                             wavenet_params, lc=None):
     """Pallas --save_every: resumable streamed-kernel segments."""
     from wavenet_tpu.audio import mu_law_decode_np, write_wav
     from wavenet_tpu.kernels.sampler import generate_pallas_resumable
@@ -375,7 +374,8 @@ def _generate_chunked_pallas(params, config, args, gc_ids, seed_codes,
             carry=carry,
             weight_dtype=(jnp.bfloat16
                           if args.sampler_precision == "bfloat16"
-                          else jnp.float32))
+                          else jnp.float32),
+            lc=lc[:, done:done + n] if lc is not None else None)
         if segment == 0:
             print("Using fused Pallas (HBM ring, streamed, resumable) "
                   "sampler.")

@@ -84,6 +84,12 @@ class PackedSampler(NamedTuple):
     post1_b: jnp.ndarray       # [1, S]
     post2_w: jnp.ndarray       # [S, Q]
     post2_b: jnp.ndarray       # [1, Q]
+    # Local conditioning (None unless config.lc_enabled): per-layer
+    # filter|gate projections of the per-step feature vector, gate half
+    # pre-scaled by 0.5 like layer_w. Unlike layer_add (constant across
+    # time), the LC contribution is time-varying and computed in-kernel
+    # from the streamed feature row: fg += lc_t @ lc_w[l].
+    lc_w: Optional[jnp.ndarray] = None   # [L, C_lc, 2D]
     # NOTE: no static metadata here — PackedSampler crosses jit boundaries
     # as a pytree, so int fields would turn into traced scalars (which a
     # pallas kernel closure must not capture). Ring offsets are derived
@@ -150,13 +156,19 @@ def pack_sampler_weights(params: Params, config: WaveNetConfig,
         post2_b = jnp.zeros((1, Q), f32)
 
     wd = weight_dtype
+    lc_w = None
+    if c.lc_enabled:
+        lc_w = jnp.concatenate(
+            [params["lc_filter"].astype(f32),
+             0.5 * params["lc_gate"].astype(f32)], axis=-1).astype(wd)
     return PackedSampler(
         causal_w=causal_w.astype(wd), layer_w=layer_w.astype(wd),
         layer_add=add,
         dense_w=dense_w.astype(wd), dense_add=dense_add,
         skip_w=skip_w.astype(wd), skip_b=skip_b,
         post1_w=params["postprocess1"].astype(wd), post1_b=post1_b,
-        post2_w=params["postprocess2"].astype(wd), post2_b=post2_b)
+        post2_w=params["postprocess2"].astype(wd), post2_b=post2_b,
+        lc_w=lc_w)
 
 
 def ring_offsets(config: WaveNetConfig) -> Tuple[int, ...]:
@@ -197,16 +209,28 @@ def _sampler_kernel(
                          #  time index must be on a sublane/batch dim) with
                          #  a leading batch-CHUNK dim (lane dims cannot be
                          #  block-sliced, so chunking rides dim 0)
+    # then, when has_lc (parsed from *rest):
+    #   lc_w_ref         [L, C_lc, 2D]      (input)
+    #   lc_ref           [1, n_total, bc, C_lc] f32 (input) — row t
+    #                    conditions step t's prediction (the scan
+    #                    sampler's per-step lc_t convention)
     # outputs
-    codes_ref,           # [1, n_total, bc] int32
-    logits_ref,          # [1, n_total | 1, bc, Q] f32
+    #   codes_ref        [1, n_total, bc] int32
+    #   logits_ref       [1, n_total | 1, bc, Q] f32
     # scratch
-    ring_ref,            # [sum_d, B, R] f32
-    causal_buf_ref,      # [B, C_in] f32 (previous input, kw=2)
-    *,
+    #   ring_ref         [sum_d, B, R] f32
+    #   causal_buf_ref   [B, C_in] f32 (previous input, kw=2)
+    *rest,
     config: WaveNetConfig, offsets: Tuple[int, ...], n_total: int,
     n_forced: int, batch_size: int, inv_temperature: float,
+    has_lc: bool = False,
 ):
+    if has_lc:
+        (lc_w_ref, lc_ref, codes_ref, logits_ref,
+         ring_ref, causal_buf_ref) = rest
+    else:
+        lc_w_ref = lc_ref = None
+        codes_ref, logits_ref, ring_ref, causal_buf_ref = rest
     # ring_ref dtype may be bf16 (state_dtype option): halves the VMEM
     # state so batch fits ~2x further; past values requantize on store.
     c = config
@@ -247,6 +271,10 @@ def _sampler_kernel(
                           causal_w_ref[...])  # [B, R]
         causal_buf_ref[...] = window[:, C_in:]
 
+        lc_t = None
+        if has_lc:
+            lc_t = lc_ref[0, t].astype(lc_w_ref.dtype)  # [B, C_lc]
+
         skip_sum = jnp.zeros((B, S), jnp.float32)
         for i, dilation in enumerate(c.dilations):
             pos = offsets[i] + t % dilation
@@ -255,6 +283,8 @@ def _sampler_kernel(
             x_cat = jnp.concatenate([past, current], axis=-1)  # [B, 2R]
             fg = mxu_dot(x_cat.astype(layer_w_ref.dtype), layer_w_ref[i])
             fg = fg + layer_add_ref[0, i]
+            if has_lc:
+                fg = fg + mxu_dot(lc_t, lc_w_ref[i])
             # Gate half pre-scaled by 0.5 at pack time: ONE tanh over
             # [B, 2D] gives both tanh(f) and sigmoid(g) (exact identity).
             tg = jnp.tanh(fg)
@@ -329,7 +359,8 @@ def _run_sampler_kernel(packed: PackedSampler, forced: jnp.ndarray,
                         config: WaveNetConfig, n_total: int, n_forced: int,
                         batch_size: int, temperature: float,
                         collect_logits: bool, state_dtype=jnp.float32,
-                        batch_chunk: int = 0):
+                        batch_chunk: int = 0,
+                        lc_stream: Optional[jnp.ndarray] = None):
     c = config
     B, Q, R = batch_size, c.quantization_channels, c.residual_channels
     sum_d = sum(c.dilations)
@@ -337,11 +368,12 @@ def _run_sampler_kernel(packed: PackedSampler, forced: jnp.ndarray,
     if B % bc != 0:
         raise ValueError(f"batch {B} not divisible by chunk {bc}")
     nb = B // bc
+    has_lc = lc_stream is not None
     kw_in = (c.initial_filter_width if c.scalar_input else c.filter_width)
     kernel = functools.partial(
         _sampler_kernel, config=c, offsets=ring_offsets(c),
         n_total=n_total, n_forced=n_forced, batch_size=bc,
-        inv_temperature=1.0 / temperature)
+        inv_temperature=1.0 / temperature, has_lc=has_lc)
 
     # Grid over batch chunks: each (sequential) program generates its own
     # bc streams with chunk-local ring state and a decorrelated PRNG.
@@ -355,19 +387,35 @@ def _run_sampler_kernel(packed: PackedSampler, forced: jnp.ndarray,
     # [n_total, B] -> [nb, n_total, bc]; [L, B, 2D] -> [nb, L, bc, 2D].
     forced_c = jnp.moveaxis(forced.reshape(n_total, nb, bc), 1, 0)
     add_c = jnp.moveaxis(packed.layer_add.reshape(L, nb, bc, 2 * D), 1, 0)
+    in_specs = [
+        full(),                                             # causal_w
+        full(),                                             # layer_w
+        pl.BlockSpec((1, L, bc, 2 * D), lambda i, *_: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        full(), full(), full(), full(),   # dense_w/add, skip_w/b
+        full(), full(), full(), full(),   # post1/2 w+b
+        pl.BlockSpec((1, n_total, bc), lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM),               # forced
+    ]
+    operands = [seed, packed.causal_w, packed.layer_w, add_c,
+                packed.dense_w, packed.dense_add, packed.skip_w,
+                packed.skip_b, packed.post1_w, packed.post1_b,
+                packed.post2_w, packed.post2_b, forced_c]
+    if has_lc:
+        # lc_stream [n_total, B, C_lc] -> chunk-major [nb, n_total, bc, C].
+        C_lc = lc_stream.shape[-1]
+        lc_c = jnp.moveaxis(
+            lc_stream.reshape(n_total, nb, bc, C_lc), 1, 0)
+        in_specs += [
+            full(),                                          # lc_w
+            pl.BlockSpec((1, n_total, bc, C_lc), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),           # lc stream
+        ]
+        operands += [packed.lc_w, lc_c]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
-        in_specs=[
-            full(),                                             # causal_w
-            full(),                                             # layer_w
-            pl.BlockSpec((1, L, bc, 2 * D), lambda i, *_: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            full(), full(), full(), full(),   # dense_w/add, skip_w/b
-            full(), full(), full(), full(),   # post1/2 w+b
-            pl.BlockSpec((1, n_total, bc), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),               # forced
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, n_total, bc), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -388,10 +436,7 @@ def _run_sampler_kernel(packed: PackedSampler, forced: jnp.ndarray,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
-    )(seed, packed.causal_w, packed.layer_w, add_c,
-      packed.dense_w, packed.dense_add, packed.skip_w, packed.skip_b,
-      packed.post1_w, packed.post1_b,
-      packed.post2_w, packed.post2_b, forced_c)
+    )(*operands)
     # [nb, n_total, bc] -> [B, n_total]; [nb, n_log, bc, Q] -> [n_log, B, Q]
     codes_bt = jnp.moveaxis(codes, 0, 1).reshape(n_total, B)
     logits_out = jnp.moveaxis(logits, 0, 1).reshape(n_log, B, Q)
@@ -425,7 +470,13 @@ def sampler_vmem_bytes(config: WaveNetConfig, batch_size: int,
     state = sum(c.dilations) * B * _lanes(R)
     outputs = (n_samples * _lanes(B)
                + (n_samples if collect_logits else 1) * B * _lanes(Q))
-    return (4 * (weights + outputs + B * _lanes(c.input_channels))
+    lc = 0
+    if c.lc_enabled:
+        # Per-layer projection weights + the whole [n_total, B, C_lc]
+        # feature stream resident in VMEM.
+        lc = (L * c.lc_channels * _lanes(2 * D)
+              + n_samples * B * _lanes(c.lc_channels))
+    return (4 * (weights + outputs + lc + B * _lanes(c.input_channels))
             + state_bytes * state)
 
 
@@ -464,6 +515,11 @@ def stream_hbm_sampler_vmem_bytes(config: WaveNetConfig,
                + S * _lanes(S) + _lanes(S) + S * _lanes(Q) + _lanes(Q))
     slots = 2 * L * B * 128 + 64 * B * 128
     io = 2 * 2 * _IO_CHUNK * 128
+    if c.lc_enabled:
+        # lc projection weights + double-buffered feature chunks (slot
+        # bytes capped at ~2 MB by the run wrapper's LCC choice).
+        weights += L * c.lc_channels * _lanes(2 * D)
+        io += 2 * (1 << 19)
     return 4 * (weights + slots + io + B * _lanes(Q))
 
 
@@ -495,7 +551,9 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
                     batch_chunk: int = 0,
                     ring_in_hbm: bool = False,
                     stream_io: bool = False,
-                    prefill: bool = False):
+                    prefill: bool = False,
+                    lc: Optional[jnp.ndarray] = None,
+                    lc_prime: Optional[jnp.ndarray] = None):
     """Generate mu-law codes [B, n_samples] in a single kernel launch.
 
     ``seed_codes`` [B, T_seed] teacher-forces the first T_seed steps (queue
@@ -509,11 +567,26 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
     receptive-field priming steps (38% of a 16k-sample paper-config run)
     at every batch size. Ring state matches sequential priming to f32
     round-off; with ``collect_logits`` only DECODE-phase logits exist.
+
+    ``lc``/``lc_prime``: local conditioning with the scan sampler's
+    conventions (sample.generate): lc [B, n_samples, C_lc] conditions
+    the generated samples; lc_prime [B, n_prime, C_lc] conditions the
+    priming region (default: lc[:, 0] held backward). Supported by the
+    VMEM kernels (incl. batch_chunk) and the prefill/streamed paths;
+    the legacy single-pass HBM-ring kernel raises NotImplementedError
+    (the ordered fallback skips it).
     """
     c = config
     if c.filter_width != 2:
         raise NotImplementedError("Pallas sampler requires filter_width=2")
     B = batch_size
+    if lc is not None and ring_in_hbm and not stream_io:
+        raise NotImplementedError(
+            "local conditioning is not wired into the legacy single-pass "
+            "HBM-ring kernel; use the streamed-IO or VMEM paths")
+    if lc is not None and lc.shape[1] != n_samples:
+        raise ValueError(f"lc length {lc.shape[1]} != n_samples "
+                         f"{n_samples}")
     if prefill:
         if B > 128:
             # The streamed decode packs the batch into the 128-lane
@@ -541,25 +614,42 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
     n_forced = int(seed_codes.shape[1])
     n_total = n_forced - 1 + n_samples
 
+    # Local conditioning streams (scan-sampler alignment): kernel step t
+    # is conditioned by row t of [lc_prime (n_forced-1 rows) | lc].
+    lc_p = None
+    if lc is not None:
+        from wavenet_tpu.sample import _lc_for_prime
+        lc_p = _lc_for_prime(lc, lc_prime, n_forced - 1)
+
     if prefill:
-        carry = prefill_carry(params, c, seed_codes.astype(fdtype), gc_ids)
+        carry = prefill_carry(params, c, seed_codes.astype(fdtype), gc_ids,
+                              lc=lc_p)
         C = _IO_CHUNK
         T_pad = -(-n_samples // C) * C
         forced_lanes = jnp.zeros((T_pad, 128), fdtype)
         forced_lanes = forced_lanes.at[0, 0:B].set(carry.last.astype(fdtype))
+        lc_tm = (jnp.moveaxis(lc.astype(jnp.float32), 1, 0)
+                 if lc is not None else None)
         args_p = (packed, forced_lanes,
                   jnp.asarray([seed, carry.t_abs], jnp.int32),
                   carry.ring, carry.causal, c, n_samples, 1, B,
                   temperature, collect_logits, True)
         if interpret:
             with pltpu.force_tpu_interpret_mode():
-                codes, logits, _, _ = _run_sampler_kernel_hbm_stream(*args_p)
+                codes, logits, _, _ = _run_sampler_kernel_hbm_stream(
+                    *args_p, lc_stream=lc_tm)
         else:
-            codes, logits, _, _ = _run_sampler_kernel_hbm_stream(*args_p)
+            codes, logits, _, _ = _run_sampler_kernel_hbm_stream(
+                *args_p, lc_stream=lc_tm)
         if collect_logits:
             logits = _logits_in_step_order(logits, collect_logits, n_samples)
             return codes, jnp.moveaxis(logits, 0, 1)
         return codes
+
+    lc_tm = None
+    if lc is not None:
+        lc_full = jnp.concatenate([lc_p, lc], axis=1)[:, :n_total]
+        lc_tm = jnp.moveaxis(lc_full.astype(jnp.float32), 1, 0)
 
     forced = jnp.transpose(seed_codes.astype(fdtype))  # [Tf, B]
     pad = n_total - n_forced
@@ -582,9 +672,11 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
                   collect_logits)
         if interpret:
             with pltpu.force_tpu_interpret_mode():
-                codes, logits, _, _ = _run_sampler_kernel_hbm_stream(*args_s)
+                codes, logits, _, _ = _run_sampler_kernel_hbm_stream(
+                    *args_s, lc_stream=lc_tm)
         else:
-            codes, logits, _, _ = _run_sampler_kernel_hbm_stream(*args_s)
+            codes, logits, _, _ = _run_sampler_kernel_hbm_stream(
+                *args_s, lc_stream=lc_tm)
         out_codes = codes[:, n_forced - 1:]
         if collect_logits:
             logits = _logits_in_step_order(logits, collect_logits, n_total)
@@ -614,9 +706,9 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
             batch_chunk)
     if interpret:
         with pltpu.force_tpu_interpret_mode():
-            codes, logits = _run_sampler_kernel(*args)
+            codes, logits = _run_sampler_kernel(*args, lc_stream=lc_tm)
     else:
-        codes, logits = _run_sampler_kernel(*args)
+        codes, logits = _run_sampler_kernel(*args, lc_stream=lc_tm)
     # Emitted stream: forced[1:] then sampled — return only the sampled tail.
     out_codes = codes[:, n_forced - 1:]
     if collect_logits:
@@ -880,21 +972,35 @@ def _sampler_kernel_hbm_stream(
     forced_hbm,          # [T_pad, 128] fdtype — ANY (HBM), lanes 0:B used
     ring_in_ref,         # [sum_d, B, 128] — ANY (HBM), ALIASED to ring_ref
     causal_in_ref,       # [B, (kw-1)*C_in] f32 — carried shift register
+    # then, when has_lc (parsed from *rest):
+    #   lc_w_ref         [L, C_lc, 2D]     (VMEM input)
+    #   lc_hbm           [T_lc_pad, B, 128] f32 — ANY (HBM), lanes 0:C_lc
+    #                    used; row t conditions step t's prediction
     # outputs
-    codes_hbm,           # [T_pad, 128] int32 — ANY (HBM)
-    logits_ref,          # [1, n_log, B, Q] VMEM
-    ring_ref,            # [sum_d, B, 128] — ANY (HBM)
-    causal_out_ref,      # [B, (kw-1)*C_in] f32
+    #   codes_hbm        [T_pad, 128] int32 — ANY (HBM)
+    #   logits_ref       [1, n_log, B, Q] VMEM
+    #   ring_ref         [sum_d, B, 128] — ANY (HBM)
+    #   causal_out_ref   [B, (kw-1)*C_in] f32
     # scratch
-    causal_buf_ref, rbuf_ref, wbuf_ref, zbuf_ref,
-    fbuf_ref,            # [2, io_chunk, 128] fdtype — forced chunks
-    cbuf_ref,            # [2, io_chunk, 128] int32 — codes chunks
-    rsem, wsem, zsem, fsem, csem,
-    *,
+    #   causal_buf_ref, rbuf_ref, wbuf_ref, zbuf_ref,
+    #   fbuf_ref         [2, io_chunk, 128] fdtype — forced chunks
+    #   cbuf_ref         [2, io_chunk, 128] int32 — codes chunks
+    #   (when has_lc) lcbuf_ref [2, lc_chunk, B, 128] f32 — lc chunks
+    #   rsem, wsem, zsem, fsem, csem (+ lcsem when has_lc)
+    *rest,
     config: WaveNetConfig, offsets: Tuple[int, ...], n_total: int,
     n_forced: int, batch_size: int, inv_temperature: float, io_chunk: int,
-    resume: bool,
+    resume: bool, has_lc: bool = False, lc_chunk: int = 0,
 ):
+    if has_lc:
+        (lc_w_ref, lc_hbm, codes_hbm, logits_ref, ring_ref, causal_out_ref,
+         causal_buf_ref, rbuf_ref, wbuf_ref, zbuf_ref, fbuf_ref, cbuf_ref,
+         lcbuf_ref, rsem, wsem, zsem, fsem, csem, lcsem) = rest
+    else:
+        lc_w_ref = lc_hbm = lcbuf_ref = lcsem = None
+        (codes_hbm, logits_ref, ring_ref, causal_out_ref,
+         causal_buf_ref, rbuf_ref, wbuf_ref, zbuf_ref, fbuf_ref, cbuf_ref,
+         rsem, wsem, zsem, fsem, csem) = rest
     """The HBM-ring sampler with forced/codes streamed through HBM.
 
     The plain HBM-ring kernel keeps the whole [n_total, B] forced and
@@ -960,6 +1066,18 @@ def _sampler_kernel_hbm_stream(
             cbuf_ref.at[lax.rem(ci, 2)], codes_hbm.at[pl.ds(ci * C, C)],
             csem.at[lax.rem(ci, 2)])
 
+    # LC stream: row t is read in body t (one row earlier than forced,
+    # which reads t+1), so it follows the same chunk cadence with its
+    # own chunk size (lc rows are [B, 128-lane] blocks, features in
+    # lanes 0:C_lc — DMA slices must be lane-tile aligned).
+    LCC = lc_chunk
+    n_lc_chunks = -(-n_total // LCC) if has_lc else 0
+
+    def lc_dma(ci):
+        return pltpu.make_async_copy(
+            lc_hbm.at[pl.ds(ci * LCC, LCC)], lcbuf_ref.at[lax.rem(ci, 2)],
+            lcsem.at[lax.rem(ci, 2)])
+
     def featurize(x_col):
         if c.scalar_input:
             return x_col
@@ -1001,6 +1119,12 @@ def _sampler_kernel_hbm_stream(
                           causal_w_ref[...])
         causal_buf_ref[...] = window[:, C_in:]
 
+        lc_t = None
+        if has_lc:
+            # Load the full 128-lane row, slice to the feature lanes.
+            row = lcbuf_ref[lax.rem(t // LCC, 2), lax.rem(t, LCC)]
+            lc_t = row[:, 0:lc_w_ref.shape[1]].astype(lc_w_ref.dtype)
+
         for l in range(L):
             @pl.when(t > 0)
             def _(l=l):
@@ -1016,6 +1140,8 @@ def _sampler_kernel_hbm_stream(
             x_cat = jnp.concatenate([past, current], axis=-1)
             fg = mxu_dot(x_cat.astype(layer_w_ref.dtype), layer_w_ref[i])
             fg = fg + layer_add_ref[0, i]
+            if has_lc:
+                fg = fg + mxu_dot(lc_t, lc_w_ref[i])
             tg = jnp.tanh(fg)   # gate half pre-scaled 0.5 at pack time
             out = tg[:, :D] * (0.5 + 0.5 * tg[:, D:])
             d = mxu_dot(out.astype(dense_w_ref.dtype), dense_w_ref[i])
@@ -1064,6 +1190,21 @@ def _sampler_kernel_hbm_stream(
         def _():
             c_dma(ct - 2).wait()
 
+        # LC chunk boundary: body t+1 reads lc row t+1, so chunk lct+1
+        # must land before the NEXT body — same one-step-early pattern
+        # as the forced stream, on the lc cadence.
+        if has_lc:
+            lct = t // LCC
+
+            @pl.when(jnp.logical_and(lax.rem(t, LCC) == LCC - 1,
+                                     lct + 1 < n_lc_chunks))
+            def _():
+                lc_dma(lct + 1).wait()
+
+                @pl.when(lct + 2 < n_lc_chunks)
+                def _():
+                    lc_dma(lct + 2).start()
+
         logits = step(t, x_col)
         logits_ref[0, lax.rem(t, logits_ref.shape[1])] = logits
         sampled = sample_from(logits)
@@ -1098,6 +1239,12 @@ def _sampler_kernel_hbm_stream(
     if n_chunks > 1:
         f_dma(1).start()
 
+    if has_lc:
+        lc_dma(0).start()
+        lc_dma(0).wait()
+        if n_lc_chunks > 1:
+            lc_dma(1).start()
+
     first = get_forced(0).astype(jnp.float32)
     lax.fori_loop(0, n_total, body, first, unroll=False)
     causal_out_ref[...] = causal_buf_ref[...]
@@ -1123,9 +1270,13 @@ def _run_sampler_kernel_hbm_stream(packed: PackedSampler,
                                    config: WaveNetConfig, n_total: int,
                                    n_forced: int, batch_size: int,
                                    temperature: float, collect_logits,
-                                   resume: bool = False):
+                                   resume: bool = False,
+                                   lc_stream: Optional[jnp.ndarray] = None):
     """seed: [2] int32 = [prng_seed, t0]. ring_in is DONATED and aliased
-    onto the ring output; pass zeros when resume=False."""
+    onto the ring output; pass zeros when resume=False. ``lc_stream``
+    [n_total, B, C_lc] f32 (local conditioning; row t conditions step
+    t's prediction) is streamed from HBM through double-buffered,
+    lane-padded chunks."""
     c = config
     B, Q, R = batch_size, c.quantization_channels, c.residual_channels
     L = c.num_layers
@@ -1135,42 +1286,69 @@ def _run_sampler_kernel_hbm_stream(packed: PackedSampler,
     T_pad = forced_lanes.shape[0]
     assert T_pad % C == 0 and T_pad >= n_total
     fdtype = forced_lanes.dtype
+    has_lc = lc_stream is not None
+    # LC chunk rows: cap each [LCC, B, 128]-lane VMEM slot at ~2 MB.
+    LCC = min(_IO_CHUNK, max(8, (1 << 21) // (B * 128 * 4)))
     kernel = functools.partial(
         _sampler_kernel_hbm_stream, config=c, offsets=ring_offsets(c),
         n_total=n_total, n_forced=n_forced, batch_size=B,
-        inv_temperature=1.0 / temperature, io_chunk=C, resume=resume)
+        inv_temperature=1.0 / temperature, io_chunk=C, resume=resume,
+        has_lc=has_lc, lc_chunk=LCC)
     # collect_logits: True = every step; int W = ring of the last
     # W steps (bounded VMEM for arbitrarily long runs); False = 1.
     n_log = (n_total if collect_logits is True
              else int(collect_logits) if collect_logits else 1)
     zc = min(64, sum_d)
 
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] * 11
+                + [pl.BlockSpec(memory_space=pl.ANY),       # forced
+                   pl.BlockSpec(memory_space=pl.ANY),       # ring_in
+                   pl.BlockSpec(memory_space=pltpu.VMEM)])  # causal_in
+    operands = [seed, packed.causal_w, packed.layer_w,
+                packed.layer_add[None],
+                packed.dense_w, packed.dense_add, packed.skip_w,
+                packed.skip_b, packed.post1_w, packed.post1_b,
+                packed.post2_w, packed.post2_b, forced_lanes, ring_in,
+                causal_in]
+    scratch = [
+        pltpu.VMEM((B, (kw_in - 1) * c.input_channels), jnp.float32),
+        pltpu.VMEM((L, B, 128), jnp.float32),      # rbuf
+        pltpu.VMEM((L, B, 128), jnp.float32),      # wbuf
+        pltpu.VMEM((zc, B, 128), jnp.float32),     # zbuf
+        pltpu.VMEM((2, C, 128), fdtype),           # forced chunks
+        pltpu.VMEM((2, C, 128), jnp.int32),        # codes chunks
+    ]
+    sems = [
+        pltpu.SemaphoreType.DMA((L,)),
+        pltpu.SemaphoreType.DMA((L,)),
+        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if has_lc:
+        C_lc = lc_stream.shape[-1]
+        T_lc_pad = -(-n_total // LCC) * LCC
+        # Lane-pad the feature dim to the 128 tile: DMA slice shapes
+        # must be lane-aligned (Mosaic rejects a [.., C_lc<128] copy).
+        lc_lanes = jnp.zeros((T_lc_pad, B, 128), jnp.float32)
+        lc_lanes = lc_lanes.at[:lc_stream.shape[0], :, :C_lc].set(lc_stream)
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM),  # lc_w
+                     pl.BlockSpec(memory_space=pl.ANY)]      # lc stream
+        operands += [packed.lc_w, lc_lanes]
+        scratch.append(pltpu.VMEM((2, LCC, B, 128), jnp.float32))
+        sems.append(pltpu.SemaphoreType.DMA((2,)))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11
-                 + [pl.BlockSpec(memory_space=pl.ANY),      # forced
-                    pl.BlockSpec(memory_space=pl.ANY),      # ring_in
-                    pl.BlockSpec(memory_space=pltpu.VMEM)], # causal_in
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),         # codes (HBM)
             pl.BlockSpec(memory_space=pltpu.VMEM),     # logits window
             pl.BlockSpec(memory_space=pl.ANY),         # ring (HBM)
             pl.BlockSpec(memory_space=pltpu.VMEM),     # causal_out
         ),
-        scratch_shapes=[
-            pltpu.VMEM((B, (kw_in - 1) * c.input_channels), jnp.float32),
-            pltpu.VMEM((L, B, 128), jnp.float32),      # rbuf
-            pltpu.VMEM((L, B, 128), jnp.float32),      # wbuf
-            pltpu.VMEM((zc, B, 128), jnp.float32),     # zbuf
-            pltpu.VMEM((2, C, 128), fdtype),           # forced chunks
-            pltpu.VMEM((2, C, 128), jnp.int32),        # codes chunks
-            pltpu.SemaphoreType.DMA((L,)),
-            pltpu.SemaphoreType.DMA((L,)),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch + sems,
     )
     # Operand index 13 (seed, 11 weights, forced, RING_IN) aliases output
     # index 2 (the ring): prior segment state is updated in place.
@@ -1187,11 +1365,7 @@ def _run_sampler_kernel_hbm_stream(packed: PackedSampler,
         input_output_aliases={13: 2},
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT),
-    )(seed, packed.causal_w, packed.layer_w,
-      packed.layer_add[None],
-      packed.dense_w, packed.dense_add, packed.skip_w, packed.skip_b,
-      packed.post1_w, packed.post1_b,
-      packed.post2_w, packed.post2_b, forced_lanes, ring_in, causal_in)
+    )(*operands)
     return (jnp.transpose(codes[:n_total, 0:B]), logits[0], ring,
             causal_out)
 
@@ -1219,7 +1393,8 @@ def _stream_zero_state(config: WaveNetConfig, batch_size: int):
 
 def prefill_carry(params: Params, config: WaveNetConfig,
                   seed_codes: jnp.ndarray,
-                  gc_ids: Optional[jnp.ndarray] = None
+                  gc_ids: Optional[jnp.ndarray] = None,
+                  lc: Optional[jnp.ndarray] = None
                   ) -> StreamSamplerCarry:
     """Parallel queue priming: one conv forward replaces T-1 kernel steps.
 
@@ -1259,7 +1434,7 @@ def prefill_carry(params: Params, config: WaveNetConfig,
         return StreamSamplerCarry(ring=ring, causal=causal, t_abs=0,
                                   last=last)
 
-    ring, causal = _prefill_state(params, c, seed_codes, gc_ids)
+    ring, causal = _prefill_state(params, c, seed_codes, gc_ids, lc)
     return StreamSamplerCarry(ring=ring, causal=causal, t_abs=T_pre,
                               last=last)
 
@@ -1267,7 +1442,8 @@ def prefill_carry(params: Params, config: WaveNetConfig,
 @functools.partial(jax.jit, static_argnames=("config",))
 def _prefill_state(params: Params, config: WaveNetConfig,
                    seed_codes: jnp.ndarray,
-                   gc_ids: Optional[jnp.ndarray]):
+                   gc_ids: Optional[jnp.ndarray],
+                   lc: Optional[jnp.ndarray] = None):
     """(ring, causal) after teacher-forcing steps 0..T-2, via ONE jitted
     XLA program (eagerly this is ~300 dispatches through the device
     relay — seconds of pure launch latency)."""
@@ -1285,14 +1461,16 @@ def _prefill_state(params: Params, config: WaveNetConfig,
                                 use_pallas_stack=False, remat=False)
     gc_emb = embed_gc(params, c, gc_ids) if gc_ids is not None else None
     keep = tuple(min(d, T_pre) for d in c.dilations)
+    lc_in = lc[:, :T_pre] if lc is not None else None
     if c.scalar_input:
         x = seed_codes[:, :T_pre, None].astype(jnp.float32)
         layer_ins = forward(params, cfg32, x, gc_emb,
-                            collect_layer_inputs=keep)
+                            collect_layer_inputs=keep, lc=lc_in)
     else:
         layer_ins = forward_codes(params, cfg32,
                                   seed_codes[:, :T_pre].astype(jnp.int32),
-                                  gc_emb, collect_layer_inputs=keep)
+                                  gc_emb, collect_layer_inputs=keep,
+                                  lc=lc_in)
 
     # Ring row offsets[l] + tau % d must hold x_l(tau) for the last
     # min(d, T_pre) positions tau < T_pre (untouched rows stay zero, as
@@ -1338,8 +1516,15 @@ def generate_pallas_resumable(params: Params, config: WaveNetConfig,
                               carry: Optional[StreamSamplerCarry] = None,
                               weight_dtype=jnp.float32,
                               interpret: bool = False,
-                              prefill: bool = True):
+                              prefill: bool = True,
+                              lc: Optional[jnp.ndarray] = None,
+                              lc_prime: Optional[jnp.ndarray] = None):
     """One SEGMENT of streamed generation; returns (codes, carry').
+
+    ``lc`` [B, n_samples, C_lc] conditions THIS segment's samples;
+    ``lc_prime`` conditions the first segment's priming region (default:
+    lc[:, 0] held backward — slice one long stream across segments for
+    single-run-equivalent semantics).
 
     First call (carry=None): primes exactly like ``generate_pallas``
     (seed_codes, or the rf-1-silence + random-first unseeded recipe) —
@@ -1364,13 +1549,18 @@ def generate_pallas_resumable(params: Params, config: WaveNetConfig,
     packed = pack_sampler_weights(params, c, B, gc_emb, weight_dtype)
     fdtype = jnp.float32 if c.scalar_input else jnp.int32
 
+    first_segment = carry is None
     if carry is None:
         if seed_codes is None:
             seed_codes = unseeded_seed_codes(c, B, seed)
+        lc_p = None
+        if lc is not None:
+            from wavenet_tpu.sample import _lc_for_prime
+            lc_p = _lc_for_prime(lc, lc_prime, int(seed_codes.shape[1]) - 1)
         if prefill:
             # Parallel priming, then decode as a continuation segment.
             carry = prefill_carry(params, c, seed_codes.astype(fdtype),
-                                  gc_ids)
+                                  gc_ids, lc=lc_p)
             resume = True
             t0 = carry.t_abs
             ring_in, causal_in = carry.ring, carry.causal
@@ -1385,6 +1575,8 @@ def generate_pallas_resumable(params: Params, config: WaveNetConfig,
         ring_in, causal_in = carry.ring, carry.causal
         if seed_codes is not None:
             raise ValueError("seed_codes only apply to the first segment")
+        if lc_prime is not None:
+            raise ValueError("lc_prime only applies to the first segment")
         seed_codes = carry.last[:, None].astype(fdtype)
 
     n_forced = int(seed_codes.shape[1])
@@ -1397,6 +1589,16 @@ def generate_pallas_resumable(params: Params, config: WaveNetConfig,
     elif pad < 0:
         forced = forced[:n_total]
 
+    lc_tm = None
+    if lc is not None:
+        # Kernel rows [0, n_forced-1) are priming (first sequential
+        # segment only), the rest are this segment's samples.
+        lc_full = lc
+        if first_segment and not prefill and n_forced > 1:
+            lc_full = jnp.concatenate([lc_p, lc], axis=1)
+        lc_tm = jnp.moveaxis(
+            lc_full[:, :n_total].astype(jnp.float32), 1, 0)
+
     C = _IO_CHUNK
     T_pad = -(-n_total // C) * C
     forced_lanes = jnp.zeros((T_pad, 128), forced.dtype)
@@ -1406,9 +1608,11 @@ def generate_pallas_resumable(params: Params, config: WaveNetConfig,
             False, resume)
     if interpret:
         with pltpu.force_tpu_interpret_mode():
-            codes, _, ring, causal = _run_sampler_kernel_hbm_stream(*args)
+            codes, _, ring, causal = _run_sampler_kernel_hbm_stream(
+                *args, lc_stream=lc_tm)
     else:
-        codes, _, ring, causal = _run_sampler_kernel_hbm_stream(*args)
+        codes, _, ring, causal = _run_sampler_kernel_hbm_stream(
+            *args, lc_stream=lc_tm)
 
     out_codes = codes[:, n_forced - 1:]
     if c.scalar_input:

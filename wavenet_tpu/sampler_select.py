@@ -123,23 +123,25 @@ def generate_with_fallback(params, config, n_samples: int, *,
     Returns (codes [B, n_samples], chosen_name, chosen_kwargs) where
     chosen_kwargs is None when the scan sampler ran — callers (the
     server) can cache the winning variant and skip the probe next time.
-    ``lc`` ([B, n_samples, C_lc] local conditioning) always routes to
-    the scan sampler — the Pallas kernels take no per-step feature
-    stream.
+    ``lc`` [B, n_samples, C_lc] (local conditioning) streams through
+    the Pallas kernels as a per-step feature row; the one variant
+    without LC support (legacy single-pass HBM ring) raises
+    NotImplementedError and falls through like any compile failure.
     """
     from wavenet_tpu.kernels.sampler import generate_pallas
     from wavenet_tpu.sample import generate
 
     n_forced = (int(seed_codes.shape[1]) if seed_codes is not None
                 else config.receptive_field)
-    attempts = [] if lc is not None else sampler_attempts(
-        config, batch_size, n_samples + n_forced, sampler, precision)
+    attempts = sampler_attempts(config, batch_size, n_samples + n_forced,
+                                sampler, precision)
     for name, kw in attempts:
         try:
             codes = generate_pallas(
                 params, config, n_samples, seed=seed,
                 batch_size=batch_size, gc_ids=gc_ids,
-                temperature=temperature, seed_codes=seed_codes, **kw)
+                temperature=temperature, seed_codes=seed_codes, lc=lc,
+                **kw)
             log(f"Using fused {name} sampler.")
             return codes, name, kw
         except Exception as e:
