@@ -12,6 +12,14 @@ retries free.
 Only *resource/compiler* failures fall through. Anything else (a shape
 bug, bad packing, a TypeError in tracing) re-raises so regressions in
 the Pallas path can't hide behind the scan fallback.
+
+Known compiler limitation (diagnosed 2026-08-18): FRESH Mosaic compiles
+of the streamed-IO kernel hard-crash the compile helper for tiny
+configs (e.g. R=D=4, S=8, Q=32, 4-5 layers — the unit-test scale),
+independent of local conditioning; the paper-scale configs compile
+fine. Small configs ride the compilation cache when warm and otherwise
+fall through to the all-VMEM kernel, which compiles at every scale —
+exactly what this module's ordered fallback is for.
 """
 
 from __future__ import annotations
