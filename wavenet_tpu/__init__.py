@@ -34,6 +34,7 @@ from wavenet_tpu.sample import (
     prefill_state,
 )
 from wavenet_tpu.lc import fit_lc_to_length, load_lc_sidecar, upsample_lc
+from wavenet_tpu.features import log_mel_spectrogram, mel_filterbank
 from wavenet_tpu.score import log_likelihood, log_likelihood_streaming
 from wavenet_tpu.speculative import generate_speculative
 from wavenet_tpu.distill import distill_draft
