@@ -311,3 +311,128 @@ def test_end_to_end_lc_steers_generation():
         peak_f = fr[mask][np.argmax(spectrum[mask])]
         assert abs(peak_f - expected_f) < 25.0, (
             f"lc class {cls}: expected ~{expected_f} Hz, got {peak_f} Hz")
+
+
+# ---------------------------------------------------------------------------
+# Learned upsampling refinement (lc_refine_width — paper §2.5 learned map)
+# ---------------------------------------------------------------------------
+
+def _refine_cfg(**kw):
+    import dataclasses
+    from wavenet_tpu.models.config import WaveNetConfig
+    d = dict(dilations=(1, 2, 4, 8), residual_channels=4,
+             dilation_channels=4, skip_channels=8,
+             quantization_channels=32, use_biases=True,
+             lc_channels=3, lc_refine_width=9)
+    d.update(kw)
+    return WaveNetConfig(**d)
+
+
+def test_refine_identity_at_init():
+    """Identity init: refined loss == unrefined loss at step 0."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from wavenet_tpu.models.wavenet import init_params, loss_fn, refine_lc
+
+    cfg = _refine_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    B, T = 2, cfg.receptive_field + 40
+    audio = jnp.asarray(rng.uniform(-1, 1, (B, T)).astype(np.float32))
+    lc = jnp.asarray(rng.standard_normal((B, T, 3)).astype(np.float32))
+
+    np.testing.assert_allclose(np.asarray(refine_lc(params, cfg, lc)),
+                               np.asarray(lc), rtol=1e-6, atol=1e-6)
+
+    cfg_off = dataclasses.replace(cfg, lc_refine_width=0)
+    ref, _ = loss_fn(params, cfg_off, audio, lc=lc)
+    got, _ = loss_fn(params, cfg, audio, lc=lc)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-6)
+
+
+def test_refine_gradients_flow():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from wavenet_tpu.models.wavenet import init_params, loss_fn
+
+    cfg = _refine_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(1)
+    B, T = 2, cfg.receptive_field + 40
+    audio = jnp.asarray(rng.uniform(-1, 1, (B, T)).astype(np.float32))
+    lc = jnp.asarray(rng.standard_normal((B, T, 3)).astype(np.float32))
+
+    grads, _ = jax.grad(lambda p: loss_fn(p, cfg, audio, lc=lc),
+                        has_aux=True)(params)
+    for k in ("lc_up_depth", "lc_up_point", "lc_up_bias"):
+        assert float(jnp.abs(grads[k]).max()) > 0.0, k
+
+
+def test_refine_fast_equals_slow():
+    """The fast==slow keystone with a NON-identity refiner: perturb the
+    refiner params, then greedy scan generation must equal the slow
+    window path (predict_proba refines internally too)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from wavenet_tpu.models.wavenet import (
+        init_params, maybe_refine_lc, predict_proba)
+    from wavenet_tpu.sample import generate
+
+    cfg = _refine_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    key = jax.random.PRNGKey(5)
+    params = dict(params)
+    params["lc_up_depth"] = params["lc_up_depth"] + 0.3 * \
+        jax.random.normal(key, params["lc_up_depth"].shape)
+    params["lc_up_point"] = params["lc_up_point"] + 0.2 * \
+        jax.random.normal(key, params["lc_up_point"].shape)
+
+    rng = np.random.RandomState(2)
+    B, n = 1, 10
+    rf = cfg.receptive_field
+    seed_codes = jnp.asarray(rng.randint(0, 32, (B, rf)))
+    lc = jnp.asarray(rng.standard_normal((B, n, 3)).astype(np.float32))
+
+    fast = np.asarray(generate(params, cfg, n, jax.random.PRNGKey(0),
+                               batch_size=B, seed_codes=seed_codes,
+                               temperature=1e-6, lc=lc))
+
+    # Slow path: roll a window; conditioning stream refined ONCE like
+    # the fast path (prime region = lc[:, 0] held back), then windowed.
+    from wavenet_tpu.sample import _lc_for_prime
+    lc_ref = maybe_refine_lc(params, cfg, lc)
+    lc_p = _lc_for_prime(lc_ref, None, rf - 1)
+    stream = np.concatenate([np.asarray(lc_p), np.asarray(lc_ref)], axis=1)
+    import dataclasses
+    cfg_noref = dataclasses.replace(cfg, lc_refine_width=0)
+
+    window = np.asarray(seed_codes)
+    out = []
+    for i in range(n):
+        win = window[:, -rf:]
+        if win.shape[1] < rf:
+            win = np.pad(win, ((0, 0), (rf - win.shape[1], 0)),
+                         constant_values=16)
+        # Conditioning rows for this window: positions shifted so the
+        # last row conditions THIS draw (stream index rf-1+i).
+        lo = rf - 1 + i - (rf - 1)
+        lc_win = stream[:, lo:rf + i]
+        probs = predict_proba(params, cfg_noref, jnp.asarray(win),
+                              lc=jnp.asarray(lc_win))
+        code = int(np.argmax(np.asarray(probs)[0]))
+        out.append(code)
+        window = np.concatenate(
+            [window, np.full((B, 1), code, window.dtype)], axis=1)
+    np.testing.assert_array_equal(fast[0], np.asarray(out))
+
+
+def test_refine_width_validation():
+    import pytest
+    with pytest.raises(ValueError):
+        _refine_cfg(lc_refine_width=8)      # even
+    with pytest.raises(ValueError):
+        _refine_cfg(lc_channels=None)       # refine without lc

@@ -90,6 +90,9 @@ def get_arguments(argv=None):
                         help="Output samples per LC frame.")
     parser.add_argument("--lc_upsample", type=str, default="repeat",
                         choices=["repeat", "linear"])
+    parser.add_argument("--lc_refine_width", type=int, default=0,
+                        help="Learned LC upsampling refinement width of "
+                             "the trained model (must match training).")
     parser.add_argument("--seed", type=int, default=None,
                         help="PRNG seed for sampling.")
     parser.add_argument("--compilation_cache", type=str,
@@ -156,7 +159,8 @@ def main(argv=None):
         wavenet_params,
         gc_channels=args.gc_channels,
         gc_cardinality=args.gc_cardinality,
-        lc_channels=args.lc_channels)
+        lc_channels=args.lc_channels,
+        lc_refine_width=args.lc_refine_width)
 
     template = init_params(jax.random.PRNGKey(0), config)
     import os
@@ -359,6 +363,12 @@ def _generate_chunked_pallas(params, config, args, gc_ids, seed_codes,
     from wavenet_tpu.audio import mu_law_decode_np, write_wav
     from wavenet_tpu.kernels.sampler import generate_pallas_resumable
 
+    if lc is not None and config.lc_refine_width:
+        # Refine the FULL stream once (models.wavenet.refine_lc) so the
+        # per-segment slices see full neighborhood context; the
+        # resumable primitive takes already-refined features.
+        from wavenet_tpu.models.wavenet import refine_lc
+        lc = refine_lc(params, config, lc)
     chunks = []
     carry = None
     done = 0
@@ -403,6 +413,10 @@ def _generate_chunked_scan(params, config, args, key, gc_ids, seed_codes,
     c = config
     B = args.batch_size
     gc_emb = embed_gc(params, c, gc_ids) if gc_ids is not None else None
+    if lc is not None and c.lc_refine_width:
+        # Full-stream refinement before slicing (see _generate_chunked_pallas).
+        from wavenet_tpu.models.wavenet import refine_lc
+        lc = refine_lc(params, c, lc)
     key_first, key = jax.random.split(key)
     if seed_codes is None:
         if c.scalar_input:

@@ -79,6 +79,11 @@ def get_arguments(argv=None):
     parser.add_argument("--lc_upsample", type=str, default="repeat",
                         choices=["repeat", "linear"],
                         help="How LC frames are upsampled to sample rate.")
+    parser.add_argument("--lc_refine_width", type=int, default=0,
+                        help="Learned LC upsampling (paper §2.5 learned "
+                             "mapping): odd depthwise-conv width of the "
+                             "trainable refinement over the upsampled "
+                             "stream (try 2*lc_hop+1). 0 disables.")
     parser.add_argument("--max_checkpoints", type=int, default=MAX_TO_KEEP)
     parser.add_argument("--model_parallelism", type=int, default=1,
                         help="Chips per model replica (TPU-native extension; "
@@ -221,6 +226,7 @@ def main(argv=None):
         gc_channels=args.gc_channels,
         gc_cardinality=reader.gc_category_cardinality if gc_enabled else None,
         lc_channels=args.lc_channels,
+        lc_refine_width=args.lc_refine_width,
         compute_dtype=args.compute_dtype,
         remat=args.remat,
         use_pallas_stack=args.use_pallas_stack,

@@ -616,10 +616,15 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
 
     # Local conditioning streams (scan-sampler alignment): kernel step t
     # is conditioned by row t of [lc_prime (n_forced-1 rows) | lc].
+    # Learned upsampling refinement happens here, once, on the raw
+    # streams (same entry-point contract as sample.generate).
     lc_p = None
     if lc is not None:
+        from wavenet_tpu.models.wavenet import maybe_refine_lc
         from wavenet_tpu.sample import _lc_for_prime
-        lc_p = _lc_for_prime(lc, lc_prime, n_forced - 1)
+        lc = maybe_refine_lc(params, c, lc)
+        lc_p = _lc_for_prime(lc, maybe_refine_lc(params, c, lc_prime),
+                             n_forced - 1)
 
     if prefill:
         carry = prefill_carry(params, c, seed_codes.astype(fdtype), gc_ids,

@@ -48,6 +48,13 @@ class WaveNetConfig:
     # through per-layer 1x1 projections. ``lc_channels`` is the feature
     # dim as seen by the network (post-upsampling).
     lc_channels: Optional[int] = None
+    # Learned LC upsampling (paper §2.5's "learned mapping" option),
+    # expressed TPU-first as repeat-upsample + learned separable conv
+    # (depthwise width ``lc_refine_width`` + pointwise mix, identity
+    # init) over the sample-rate stream — the resize+conv equivalent of
+    # a transposed conv, so the incremental samplers consume the refined
+    # stream unchanged. 0 disables (pure repeat/linear upsampling).
+    lc_refine_width: int = 0
     # TPU-specific: compute dtype for the conv stack. Params always live in
     # fp32; 'bfloat16' casts activations/weights at the conv inputs and
     # accumulates in fp32 on the MXU. Use 'float32' for reference parity.
@@ -81,6 +88,12 @@ class WaveNetConfig:
             raise ValueError(
                 "gc_channels and gc_cardinality must be set together "
                 f"(got {self.gc_channels=}, {self.gc_cardinality=})")
+        if self.lc_refine_width and self.lc_channels is None:
+            raise ValueError("lc_refine_width requires lc_channels")
+        if self.lc_refine_width < 0 or (self.lc_refine_width
+                                        and self.lc_refine_width % 2 == 0):
+            raise ValueError("lc_refine_width must be 0 (off) or odd, got "
+                             f"{self.lc_refine_width}")
 
     # -- derived -----------------------------------------------------------
 
@@ -113,9 +126,10 @@ class WaveNetConfig:
         "filter_width", "sample_rate", "dilations", "residual_channels",
         "dilation_channels", "skip_channels", "quantization_channels",
         "use_biases", "scalar_input", "initial_filter_width",
-        # Extension key (absent from reference param files, which load
-        # unchanged): local-conditioning feature dim.
-        "lc_channels",
+        # Extension keys (absent from reference param files, which load
+        # unchanged): local-conditioning feature dim + learned-upsample
+        # refinement width.
+        "lc_channels", "lc_refine_width",
     )
 
     @classmethod

@@ -131,6 +131,16 @@ def init_params(key: jax.Array, config: WaveNetConfig) -> Params:
         Cl = c.lc_channels
         params["lc_filter"] = _xavier_uniform(next(keys), (L, 1, Cl, D))[:, 0]
         params["lc_gate"] = _xavier_uniform(next(keys), (L, 1, Cl, D))[:, 0]
+        if c.lc_refine_width:
+            # Learned upsampling refinement (paper §2.5 learned mapping,
+            # as repeat + separable conv): identity init — depthwise
+            # delta at the center tap, identity pointwise mix, zero bias
+            # — so training starts exactly at the non-learned behavior.
+            w = c.lc_refine_width
+            depth = jnp.zeros((Cl, w))
+            params["lc_up_depth"] = depth.at[:, w // 2].set(1.0)
+            params["lc_up_point"] = jnp.eye(Cl)
+            params["lc_up_bias"] = jnp.zeros((Cl,))
 
     if c.use_biases:
         params["filter_bias"] = jnp.zeros((L, D))
@@ -163,6 +173,48 @@ def embed_gc(params: Params, config: WaveNetConfig,
     """
     oh = jax.nn.one_hot(gc_ids, config.gc_cardinality, dtype=jnp.float32)
     return oh @ params["gc_embedding"]
+
+
+def refine_lc(params: Params, config: WaveNetConfig,
+              lc: jnp.ndarray) -> jnp.ndarray:
+    """Learned LC upsampling refinement [B, T, C] -> [B, T, C].
+
+    The WaveNet paper's §2.5 learned mapping (transposed-conv
+    upsampling), expressed TPU-first as repeat-upsample (done by the
+    data pipeline) + a learned SEPARABLE conv over the sample-rate
+    stream: depthwise width ``lc_refine_width`` then a pointwise C x C
+    mix — the resize+conv equivalent of a transposed conv (same
+    function class for width >= hop, none of its checkerboard
+    artifacts), and the incremental samplers consume the refined stream
+    with zero changes because refinement happens once, ahead of
+    decoding. Identity at init (delta depthwise tap, identity mix).
+
+    Applied automatically by the stream-complete entry points
+    (``loss_fn``, ``predict_proba``, ``score.log_likelihood``,
+    ``sample.generate``, ``generate_pallas``); the low-level resumable
+    primitives take already-refined streams — chunked callers (the
+    --save_every CLI) refine the full stream once before slicing so
+    segment boundaries see full context.
+    """
+    c = config
+    w = c.lc_refine_width
+    C = c.lc_channels
+    x = jnp.moveaxis(lc.astype(jnp.float32), 1, 2)          # [B, C, T]
+    depth = params["lc_up_depth"].astype(jnp.float32)[:, None, :]
+    y = lax.conv_general_dilated(
+        x, depth, window_strides=(1,), padding=[(w // 2, w // 2)],
+        feature_group_count=C,
+        dimension_numbers=("NCH", "OIH", "NCH"))
+    y = jnp.moveaxis(y, 1, 2)                               # [B, T, C]
+    return (y @ params["lc_up_point"].astype(jnp.float32)
+            + params["lc_up_bias"].astype(jnp.float32))
+
+
+def maybe_refine_lc(params: Params, config: WaveNetConfig, lc):
+    """``refine_lc`` when enabled and a stream is present, else pass-through."""
+    if lc is None or not config.lc_refine_width:
+        return lc
+    return refine_lc(params, config, lc)
 
 
 def _maybe_cast(x, config: WaveNetConfig):
@@ -518,6 +570,7 @@ def predict_proba(params: Params, config: WaveNetConfig,
     returned distribution is conditioned on lc[:, -1].
     """
     gc_emb = embed_gc(params, config, gc_ids) if gc_ids is not None else None
+    lc = maybe_refine_lc(params, config, lc)
     if config.scalar_input:
         net_in = waveform[..., None].astype(jnp.float32)
         logits = forward(params, config, net_in, gc_emb, lc=lc)
@@ -565,7 +618,9 @@ def loss_fn(params: Params, config: WaveNetConfig,
             raise ValueError(
                 f"lc shape {lc.shape} must align with the audio batch "
                 f"{audio_batch.shape} (one conditioning vector per sample)")
-        lc_in = lc[:, 1:]
+        # Learned upsampling refinement over the FULL timeline, then the
+        # alignment slice — gradients flow into the refiner params.
+        lc_in = maybe_refine_lc(params, c, lc)[:, 1:]
     # head_from = rf-1: only the positions the loss keeps go through the
     # skip/postprocess head (identical numerics, ~16% fewer head FLOPs
     # at the paper config's rf/sample_size ratio).

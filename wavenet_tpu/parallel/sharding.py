@@ -74,6 +74,12 @@ def param_partition_specs(config: WaveNetConfig, params_like) -> dict:
         # Column parallel with filter/gate, like the GC projections.
         specs["lc_filter"] = P(None, None, MODEL_AXIS)
         specs["lc_gate"] = P(None, None, MODEL_AXIS)
+        if c.lc_refine_width:
+            # The learned-upsampler refinement is tiny (C_lc-sized);
+            # replicate it.
+            specs["lc_up_depth"] = P(None, None)
+            specs["lc_up_point"] = P(None, None)
+            specs["lc_up_bias"] = P(None)
     if c.use_biases:
         specs["filter_bias"] = P(None, MODEL_AXIS)
         specs["gate_bias"] = P(None, MODEL_AXIS)

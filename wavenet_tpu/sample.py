@@ -612,6 +612,12 @@ def generate(params: Params, config: WaveNetConfig, n_samples: int,
         raise ValueError(
             "config has lc_channels set: pass lc=[B, n_samples, "
             f"{c.lc_channels}] (zeros for unconditioned sampling)")
+    # Learned upsampling refinement (models.wavenet.refine_lc) happens
+    # here, once, on the raw feature streams — the per-step machinery
+    # below consumes refined features.
+    from wavenet_tpu.models.wavenet import maybe_refine_lc
+    lc = maybe_refine_lc(params, c, lc)
+    lc_prime = maybe_refine_lc(params, c, lc_prime)
 
     # One key discipline for every mode (scalar/seeded included) so
     # generate_sharded can reproduce the exact draws for parity.

@@ -43,7 +43,9 @@ def log_likelihood(params: Params, config: WaveNetConfig,
     c = config
     codes = mu_law_encode(audio, c.quantization_channels)       # [B, T]
     gc_emb = embed_gc(params, c, gc_ids) if gc_ids is not None else None
-    lc_in = lc[:, 1:] if lc is not None else None
+    from wavenet_tpu.models.wavenet import maybe_refine_lc
+    lc_in = (maybe_refine_lc(params, c, lc)[:, 1:]
+             if lc is not None else None)
     if c.scalar_input:
         net_in = audio[:, :-1, None].astype(jnp.float32)
         logits = forward(params, c, net_in, gc_emb, lc=lc_in)
@@ -63,12 +65,14 @@ def log_likelihood(params: Params, config: WaveNetConfig,
 
 
 @partial(jax.jit, static_argnames=("config",), donate_argnames=("state",))
-def _score_chunk(params, config, state, window, targets, valid, gc_emb):
+def _score_chunk(params, config, state, window, targets, valid, gc_emb,
+                 lc=None):
     """One streaming-scorer window (module-level jit: compiles once per
     config/shape, not per log_likelihood_streaming call)."""
     from wavenet_tpu.sample import extend_state
 
-    logits, state = extend_state(params, config, state, window, gc_emb)
+    logits, state = extend_state(params, config, state, window, gc_emb,
+                                 lc=lc)
     logp = jax.nn.log_softmax(logits, axis=-1)
     oh = jax.nn.one_hot(targets, config.quantization_channels,
                         dtype=logp.dtype)
@@ -79,7 +83,8 @@ def _score_chunk(params, config, state, window, targets, valid, gc_emb):
 def log_likelihood_streaming(params: Params, config: WaveNetConfig,
                              audio: jnp.ndarray,
                              gc_ids: Optional[jnp.ndarray] = None,
-                             chunk: int = 65536):
+                             chunk: int = 65536,
+                             lc: Optional[jnp.ndarray] = None):
     """``log_likelihood`` with O(chunk) device memory for ANY length.
 
     The one-shot scorer materializes [B, T, Q] logits — ~1 GB per
@@ -107,6 +112,12 @@ def log_likelihood_streaming(params: Params, config: WaveNetConfig,
     B, T = audio.shape
     codes = mu_law_encode(audio, c.quantization_channels)
     gc_emb = embed_gc(params, c, gc_ids) if gc_ids is not None else None
+    if lc is not None:
+        # Refine ONCE over the full stream (so chunk boundaries see
+        # full context), then slice: window position j of a chunk at
+        # ``pos`` predicts target pos+1+j, conditioned by lc[pos+1+j].
+        from wavenet_tpu.models.wavenet import maybe_refine_lc
+        lc = maybe_refine_lc(params, c, lc)
 
     state = init_sampler_state(c, B)
     total = jnp.zeros((B,), jnp.float32)
@@ -117,16 +128,19 @@ def log_likelihood_streaming(params: Params, config: WaveNetConfig,
         k = min(chunk, n_in - pos)
         window = codes[:, pos:pos + k]
         targets = codes[:, pos + 1:pos + 1 + k]
+        lc_k = lc[:, pos + 1:pos + 1 + k] if lc is not None else None
         if k < chunk and n_in > chunk:
             # Pad the tail chunk to the compiled size; mask the pad.
             pad = chunk - k
             window = jnp.pad(window, ((0, 0), (0, pad)))
             targets = jnp.pad(targets, ((0, 0), (0, pad)))
+            if lc_k is not None:
+                lc_k = jnp.pad(lc_k, ((0, 0), (0, pad), (0, 0)))
             valid = (jnp.arange(chunk) < k).astype(jnp.float32)[None, :]
         else:
             valid = jnp.ones((1, k), jnp.float32)
         state, part = _score_chunk(params, c, state, window, targets,
-                                   valid, gc_emb)
+                                   valid, gc_emb, lc_k)
         total = total + part
         pos += k
     bits = -total / (n_in * np.log(2.0))
