@@ -84,6 +84,109 @@ def test_generate_bad_request(server):
     assert status == 404
 
 
+@pytest.fixture(scope="module")
+def lc_server(tmp_path_factory):
+    """Server over an lc-trained (lc_channels=3) tiny model."""
+    tmp = tmp_path_factory.mktemp("serve_lc")
+    from wavenet_tpu.models.config import WaveNetConfig
+    from wavenet_tpu.serve import GenerationService, make_handler
+    from wavenet_tpu.train_lib import (
+        create_train_state, make_optimizer, save_checkpoint)
+
+    cfg = WaveNetConfig(dilations=(1, 2, 4), residual_channels=4,
+                        dilation_channels=4, skip_channels=8,
+                        quantization_channels=32, sample_rate=2000,
+                        lc_channels=3)
+    params_path = tmp / "params.json"
+    params_path.write_text(json.dumps(cfg.to_json_dict()))
+    state = create_train_state(jax.random.PRNGKey(0), cfg,
+                               make_optimizer("adam", 1e-3))
+    save_checkpoint(str(tmp / "ckpt"), state)
+
+    service = GenerationService(str(tmp / "ckpt"), str(params_path),
+                                sampler="scan", warm_samples=8)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def test_lc_generate_with_hop_upsampling(lc_server):
+    """Frame-rate lc + lc_hop is upsampled server-side; output well-formed
+    and deterministic per (seed, lc)."""
+    frames = np.linspace(-1, 1, 4 * 3).reshape(4, 3).tolist()
+    payload = {"samples": 32, "seed": 5, "format": "codes",
+               "lc": frames, "lc_hop": 8, "lc_upsample": "linear"}
+    s1, _, b1 = _post(lc_server + "/generate", payload)
+    s2, _, b2 = _post(lc_server + "/generate", payload)
+    assert s1 == s2 == 200
+    c1, c2 = json.loads(b1)["codes"], json.loads(b2)["codes"]
+    assert c1 == c2 and len(c1) == 32
+    assert all(0 <= c < 32 for c in c1)
+
+
+def test_lc_changes_output(lc_server):
+    """Different conditioning must change the sampled codes (the stream
+    actually reaches the network through the HTTP path)."""
+    base = {"samples": 32, "seed": 5, "format": "codes", "lc_hop": 8}
+    _, _, b1 = _post(lc_server + "/generate",
+                     {**base, "lc": np.zeros((4, 3)).tolist()})
+    _, _, b2 = _post(lc_server + "/generate",
+                     {**base, "lc": (5 * np.ones((4, 3))).tolist()})
+    assert json.loads(b1)["codes"] != json.loads(b2)["codes"]
+
+
+def test_lc_sample_rate_stream_no_hop(lc_server):
+    """Without lc_hop the stream is taken as sample-rate and edge-fit."""
+    status, _, body = _post(
+        lc_server + "/generate",
+        {"samples": 16, "format": "codes",
+         "lc": np.zeros((10, 3)).tolist()})
+    assert status == 200
+    assert len(json.loads(body)["codes"]) == 16
+
+
+def test_lc_bad_requests(lc_server, server):
+    # Wrong channel count -> 400 (shape validated after fit-to-length).
+    status, _, body = _post(lc_server + "/generate",
+                            {"samples": 16, "lc": np.zeros((4, 2)).tolist(),
+                             "lc_hop": 4})
+    assert status == 400 and "lc must be" in json.loads(body)["error"]
+    # lc against a model with no lc_channels -> 400.
+    status, _, body = _post(server + "/generate",
+                            {"samples": 16, "lc": np.zeros((4, 3)).tolist(),
+                             "lc_hop": 4})
+    assert status == 400
+    assert "not trained with local" in json.loads(body)["error"]
+    # 3-d lc -> 400.
+    status, _, _ = _post(lc_server + "/generate",
+                         {"samples": 16,
+                          "lc": np.zeros((2, 2, 3)).tolist()})
+    assert status == 400
+
+
+def test_speculative_rejects_lc(tmp_path):
+    from wavenet_tpu.models.config import WaveNetConfig
+    from wavenet_tpu.serve import GenerationService
+    from wavenet_tpu.train_lib import (
+        create_train_state, make_optimizer, save_checkpoint)
+
+    cfg = WaveNetConfig(dilations=(1, 2), residual_channels=4,
+                        dilation_channels=4, skip_channels=8,
+                        quantization_channels=32, sample_rate=2000,
+                        lc_channels=2)
+    params_path = tmp_path / "params.json"
+    params_path.write_text(json.dumps(cfg.to_json_dict()))
+    state = create_train_state(jax.random.PRNGKey(0), cfg,
+                               make_optimizer("adam", 1e-3))
+    save_checkpoint(str(tmp_path / "ckpt"), state)
+    with pytest.raises(ValueError, match="speculative"):
+        GenerationService(
+            str(tmp_path / "ckpt"), str(params_path), warm_samples=8,
+            draft_checkpoint=str(tmp_path / "ckpt"), speculative_k=3)
+
+
 def test_speculative_service(tmp_path):
     """A draft checkpoint switches the service to speculative decoding
     (draft == target here); /generate output stays well-formed."""

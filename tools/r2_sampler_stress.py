@@ -205,6 +205,43 @@ def main():
     ok = outp.shape == (128, 16000) and outp.min() >= 0 and outp.max() < 256
     check("prefill b128 seeded generation", ok)
 
+    # 6) local conditioning on hardware: the LC lane packing and the
+    # per-step stream DMA through the streamed-IO kernel are round-3
+    # additions only ever parity-tested in interpret mode (no DMA
+    # timing). Teacher-force with a random LC stream and compare the
+    # windowed logits against the conv forward with the same stream.
+    from wavenet_tpu.models.wavenet import forward_codes
+    lc_cfg = paper_config(lc_channels=8)
+    params_lc = init_params(jax.random.PRNGKey(2), lc_cfg)
+    B, T = 8, 2048
+    codes_lc = jnp.asarray(rng.randint(0, 256, (B, T)))
+    stream = jnp.asarray(
+        rng.standard_normal((B, T, 8)).astype(np.float32))
+    ctx = lc_cfg.receptive_field - 1
+    oracle_lc = np.asarray(jax.jit(forward_codes, static_argnums=1)(
+        params_lc, lc_cfg, codes_lc[:, -(ctx + W):],
+        lc=stream[:, -(ctx + W):]))[:, -W:, :]
+    for tag, kw in [("vmem", {}),
+                    ("stream-io", dict(ring_in_hbm=True, stream_io=True))]:
+        _, logits_lc = generate_pallas(
+            params_lc, lc_cfg, n_samples=1, seed=0, batch_size=B,
+            seed_codes=codes_lc, lc=stream[:, -1:],
+            lc_prime=stream[:, :-1], collect_logits=W, **kw)
+        logits_lc = np.asarray(logits_lc)[:, -W:, :]
+        err = float(np.max(np.abs(logits_lc - oracle_lc)))
+        scale = float(np.max(np.abs(oracle_lc)))
+        check(f"lc {tag} paper b8 T2048", err <= 2e-4 * max(scale, 1.0),
+              f"max|d|={err:.2e} scale={scale:.1f}")
+
+    # and the LC prefill path end to end (prefill_carry consumes lc)
+    outl = np.asarray(generate_pallas(
+        params_lc, lc_cfg, n_samples=4096, seed=7, batch_size=B,
+        seed_codes=codes_lc, prefill=True,
+        lc=jnp.asarray(rng.standard_normal((B, 4096, 8)).astype(np.float32)),
+        lc_prime=stream[:, :-1]))
+    ok = outl.shape == (B, 4096) and outl.min() >= 0 and outl.max() < 256
+    check("lc prefill b8 seeded generation", ok)
+
     print("\n" + ("ALL CHECKS PASSED" if not FAILURES
                   else f"FAILED: {FAILURES}"), flush=True)
     sys.exit(1 if FAILURES else 0)

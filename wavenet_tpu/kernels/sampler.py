@@ -1195,9 +1195,18 @@ def _sampler_kernel_hbm_stream(
         def _():
             c_dma(ct - 2).wait()
 
+        logits = step(t, x_col)
+
         # LC chunk boundary: body t+1 reads lc row t+1, so chunk lct+1
-        # must land before the NEXT body — same one-step-early pattern
-        # as the forced stream, on the lc cadence.
+        # must land before the NEXT body. Unlike the forced stream
+        # (whose body-t read is row t+1, already in the OTHER slot),
+        # step(t) reads lc row t — the LAST row of chunk lct at this
+        # boundary — so the prefetch of lct+2 into chunk lct's slot
+        # must be issued AFTER the step, not before. Issuing it before
+        # the step races the in-flight DMA against the row read: the
+        # stress suite caught exactly that on hardware (lc stream-io
+        # max|d|=0.22 vs 3e-5 for vmem; interpret mode hid it because
+        # its copies land at wait()).
         if has_lc:
             lct = t // LCC
 
@@ -1209,8 +1218,6 @@ def _sampler_kernel_hbm_stream(
                 @pl.when(lct + 2 < n_lc_chunks)
                 def _():
                     lc_dma(lct + 2).start()
-
-        logits = step(t, x_col)
         logits_ref[0, lax.rem(t, logits_ref.shape[1])] = logits
         sampled = sample_from(logits)
         nxt = jnp.minimum(t + 1, n_total - 1)

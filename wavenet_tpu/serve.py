@@ -14,9 +14,18 @@ API (stdlib-only server, JSON in / WAV or JSON out):
   GET  /healthz            -> {"status": "ok", "config": {...}}
   POST /generate           {"samples": 16000, "gc_id": 3,
                             "temperature": 0.9, "seed": 7,
+                            "lc": [[...], ...], "lc_hop": 200,
+                            "lc_upsample": "repeat" | "linear",
                             "format": "wav" | "codes"}
       -> audio/wav bytes (format=wav, default), or
          {"codes": [...]} JSON (format=codes)
+
+Local conditioning (lc-trained checkpoints): ``lc`` is a [frames,
+lc_channels] float array. With ``lc_hop`` the frames are upsampled to
+sample rate first (wavenet_tpu.lc.upsample_lc); without it they must
+already be at sample rate. The stream is edge-extended/cropped to the
+requested length. Speculative serving (--draft_checkpoint) does not
+support lc (wavenet_tpu/speculative.py carries no feature stream).
 """
 
 from __future__ import annotations
@@ -66,6 +75,11 @@ class GenerationService:
         self.draft_config = None
         self.speculative_k = speculative_k
         if draft_checkpoint:
+            if self.config.lc_enabled:
+                raise ValueError(
+                    "speculative serving does not support lc-trained "
+                    "models (wavenet_tpu/speculative.py carries no "
+                    "feature stream); serve without --draft_checkpoint")
             with open(draft_wavenet_params or wavenet_params) as f:
                 draw = json.load(f)
             self.draft_config = WaveNetConfig.from_json(
@@ -87,8 +101,13 @@ class GenerationService:
         self._variant_kwargs = None  # None -> scan
         self.sampler_name = "lax.scan"
         if warm_samples:
+            # Speculative serving carries no lc stream; warm it plain.
+            warm_lc = (np.zeros((warm_samples, self.config.lc_channels),
+                                np.float32)
+                       if self.config.lc_enabled
+                       and self.draft_params is None else None)
             self.generate(warm_samples, gc_id=0 if gc_channels else None,
-                          _select=True)
+                          lc=warm_lc, _select=True)
 
     @property
     def use_pallas(self) -> bool:
@@ -106,16 +125,37 @@ class GenerationService:
 
     def generate(self, n_samples: int, gc_id: Optional[int] = None,
                  temperature: float = 1.0, seed: int = 0,
+                 lc: Optional[np.ndarray] = None,
                  _select: bool = False) -> np.ndarray:
-        """-> float waveform [n_samples] in [-1, 1]."""
+        """-> float waveform [n_samples] in [-1, 1].
+
+        ``lc``: sample-rate conditioning [n_samples, lc_channels]
+        (already upsampled; the handler does hop upsampling). Padded to
+        the compile bucket by edge extension, like the request itself.
+        """
         from wavenet_tpu.audio import mu_law_decode_np
         from wavenet_tpu.kernels.sampler import generate_pallas
+        from wavenet_tpu.lc import fit_lc_to_length
         from wavenet_tpu.sample import generate
         from wavenet_tpu.sampler_select import generate_with_fallback
 
         gc_ids = (jnp.asarray([gc_id], jnp.int32)
                   if gc_id is not None and self.config.gc_enabled else None)
         n_bucket = self.bucket_samples(n_samples)
+        if lc is not None:
+            if not self.config.lc_enabled:
+                raise ValueError("this model was not trained with local "
+                                 "conditioning (no lc_channels in config)")
+            if self.draft_params is not None:
+                raise ValueError("speculative serving does not support "
+                                 "local conditioning")
+            lc = np.asarray(lc, np.float32)
+            if lc.ndim != 2 or lc.shape != (n_samples,
+                                            self.config.lc_channels):
+                raise ValueError(
+                    f"lc must be [{n_samples}, "
+                    f"{self.config.lc_channels}], got {lc.shape}")
+            lc = jnp.asarray(fit_lc_to_length(lc, n_bucket))[None]
         with self._lock:
             if self.draft_params is not None:
                 from wavenet_tpu.speculative import generate_speculative
@@ -132,18 +172,18 @@ class GenerationService:
                 codes, name, kw = generate_with_fallback(
                     self.params, self.config, n_bucket, seed=seed,
                     batch_size=1, gc_ids=gc_ids, temperature=temperature,
-                    sampler=self._sampler_arg)
+                    lc=lc, sampler=self._sampler_arg)
                 self._variant_kwargs, self.sampler_name = kw, name
             elif self._variant_kwargs is not None:
                 codes = generate_pallas(
                     self.params, self.config, n_bucket, seed=seed,
                     batch_size=1, gc_ids=gc_ids, temperature=temperature,
-                    **self._variant_kwargs)
+                    lc=lc, **self._variant_kwargs)
             else:
                 codes = generate(
                     self.params, self.config, n_bucket,
                     jax.random.PRNGKey(seed), batch_size=1, gc_ids=gc_ids,
-                    temperature=temperature)
+                    temperature=temperature, lc=lc)
             codes = np.asarray(jax.device_get(codes))[0][:n_samples]
         return mu_law_decode_np(codes, self.config.quantization_channels)
 
@@ -191,10 +231,27 @@ def make_handler(service: GenerationService):
                 n = int(req.get("samples", service.sample_rate))
                 if not 1 <= n <= 10 * 60 * service.sample_rate:
                     raise ValueError(f"samples out of range: {n}")
+                lc = None
+                if req.get("lc") is not None:
+                    from wavenet_tpu.lc import fit_lc_to_length, upsample_lc
+
+                    lc = np.asarray(req["lc"], np.float32)
+                    if lc.ndim == 1:
+                        lc = lc[:, None]
+                    if lc.ndim != 2:
+                        raise ValueError(
+                            f"lc must be [frames, channels], got shape "
+                            f"{lc.shape}")
+                    hop = req.get("lc_hop")
+                    if hop is not None:
+                        lc = upsample_lc(
+                            lc, int(hop),
+                            mode=req.get("lc_upsample", "repeat"))
+                    lc = fit_lc_to_length(lc, n)
                 wave = service.generate(
                     n, gc_id=req.get("gc_id"),
                     temperature=float(req.get("temperature", 1.0)),
-                    seed=int(req.get("seed", 0)))
+                    seed=int(req.get("seed", 0)), lc=lc)
             except (ValueError, KeyError, json.JSONDecodeError) as e:
                 self._json(400, {"error": str(e)})
                 return
