@@ -90,6 +90,17 @@ class PackedSampler(NamedTuple):
     # time), the LC contribution is time-varying and computed in-kernel
     # from the streamed feature row: fg += lc_t @ lc_w[l].
     lc_w: Optional[jnp.ndarray] = None   # [L, C_lc, 2D]
+    # Round-4 b=1 latency layout (packed only when batch_size == 1): the
+    # fg/dense chain products run on the VPU as broadcast-multiply-reduce
+    # matvecs instead of MXU matmuls (~83 ns vs ~136 ns of MXU pipeline
+    # latency per dependent product — tools/r4_matvec_probe.py). The fg
+    # product consumes the TRANSPOSED weights (reduce over lanes yields a
+    # column vector); the dense/skip products reuse the standard layouts
+    # (reduce over sublanes yields a row) — alternating row/column vector
+    # forms so no transposes enter the dependency chain.
+    layer_wT: Optional[jnp.ndarray] = None    # [L, 2D, 2R]
+    layer_addT: Optional[jnp.ndarray] = None  # [L, 2D, B]  (B == 1)
+    lc_wT: Optional[jnp.ndarray] = None       # [L, 2D, C_lc]
     # NOTE: no static metadata here — PackedSampler crosses jit boundaries
     # as a pytree, so int fields would turn into traced scalars (which a
     # pallas kernel closure must not capture). Ring offsets are derived
@@ -161,6 +172,13 @@ def pack_sampler_weights(params: Params, config: WaveNetConfig,
         lc_w = jnp.concatenate(
             [params["lc_filter"].astype(f32),
              0.5 * params["lc_gate"].astype(f32)], axis=-1).astype(wd)
+    layer_wT = layer_addT = lc_wT = None
+    if batch_size == 1:
+        # b=1 VPU-chain layout (see PackedSampler docstring).
+        layer_wT = jnp.transpose(layer_w, (0, 2, 1))      # [L, 2D, 2R]
+        layer_addT = jnp.transpose(add, (0, 2, 1))        # [L, 2D, 1]
+        if lc_w is not None:
+            lc_wT = jnp.transpose(lc_w, (0, 2, 1))        # [L, 2D, C_lc]
     return PackedSampler(
         causal_w=causal_w.astype(wd), layer_w=layer_w.astype(wd),
         layer_add=add,
@@ -168,7 +186,10 @@ def pack_sampler_weights(params: Params, config: WaveNetConfig,
         skip_w=skip_w.astype(wd), skip_b=skip_b,
         post1_w=params["postprocess1"].astype(wd), post1_b=post1_b,
         post2_w=params["postprocess2"].astype(wd), post2_b=post2_b,
-        lc_w=lc_w)
+        lc_w=lc_w,
+        layer_wT=None if layer_wT is None else layer_wT.astype(wd),
+        layer_addT=layer_addT,
+        lc_wT=None if lc_wT is None else lc_wT.astype(wd))
 
 
 def ring_offsets(config: WaveNetConfig) -> Tuple[int, ...]:
@@ -553,7 +574,8 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
                     stream_io: bool = False,
                     prefill: bool = False,
                     lc: Optional[jnp.ndarray] = None,
-                    lc_prime: Optional[jnp.ndarray] = None):
+                    lc_prime: Optional[jnp.ndarray] = None,
+                    vpu_b1: bool = True):
     """Generate mu-law codes [B, n_samples] in a single kernel launch.
 
     ``seed_codes`` [B, T_seed] teacher-forces the first T_seed steps (queue
@@ -604,6 +626,10 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
 
     gc_emb = embed_gc(params, c, gc_ids) if gc_ids is not None else None
     packed = pack_sampler_weights(params, c, B, gc_emb, weight_dtype)
+    if not vpu_b1:
+        # A/B escape hatch: strip the transposed fields so the streamed
+        # kernel compiles its MXU chain at B == 1 too.
+        packed = packed._replace(layer_wT=None, layer_addT=None, lc_wT=None)
 
     # In scalar-input mode seed_codes are raw AMPLITUDES [B, T] f32 and
     # the unseeded start is silence (0.0); in mu-law mode they are int
@@ -996,16 +1022,29 @@ def _sampler_kernel_hbm_stream(
     config: WaveNetConfig, offsets: Tuple[int, ...], n_total: int,
     n_forced: int, batch_size: int, inv_temperature: float, io_chunk: int,
     resume: bool, has_lc: bool = False, lc_chunk: int = 0,
+    vpu_chain: bool = False,
 ):
+    # Optional input groups, in operand order: [layer_wT, layer_addT]
+    # when vpu_chain; [lc_w, lc_hbm(, lc_wT)] when has_lc.
+    layer_wT_ref = layer_addT_ref = lc_wT_ref = None
+    lc_w_ref = lc_hbm = lcbuf_ref = lcsem = None
+    i0 = 0
+    if vpu_chain:
+        layer_wT_ref, layer_addT_ref = rest[0], rest[1]
+        i0 = 2
     if has_lc:
-        (lc_w_ref, lc_hbm, codes_hbm, logits_ref, ring_ref, causal_out_ref,
-         causal_buf_ref, rbuf_ref, wbuf_ref, zbuf_ref, fbuf_ref, cbuf_ref,
-         lcbuf_ref, rsem, wsem, zsem, fsem, csem, lcsem) = rest
+        lc_w_ref, lc_hbm = rest[i0], rest[i0 + 1]
+        i0 += 2
+        if vpu_chain:
+            lc_wT_ref = rest[i0]
+            i0 += 1
+    (codes_hbm, logits_ref, ring_ref, causal_out_ref,
+     causal_buf_ref, rbuf_ref, wbuf_ref, zbuf_ref, fbuf_ref, cbuf_ref,
+     *tail) = rest[i0:]
+    if has_lc:
+        lcbuf_ref, rsem, wsem, zsem, fsem, csem, lcsem = tail
     else:
-        lc_w_ref = lc_hbm = lcbuf_ref = lcsem = None
-        (codes_hbm, logits_ref, ring_ref, causal_out_ref,
-         causal_buf_ref, rbuf_ref, wbuf_ref, zbuf_ref, fbuf_ref, cbuf_ref,
-         rsem, wsem, zsem, fsem, csem) = rest
+        rsem, wsem, zsem, fsem, csem = tail
     """The HBM-ring sampler with forced/codes streamed through HBM.
 
     The plain HBM-ring kernel keeps the whole [n_total, B] forced and
@@ -1143,6 +1182,33 @@ def _sampler_kernel_hbm_stream(
             wbuf_ref[i, :, 0:R] = current
             write_dma(i, row_pos(i, t)).start()
             x_cat = jnp.concatenate([past, current], axis=-1)
+            if vpu_chain:
+                # b=1 VPU matvec chain (PackedSampler docstring): the fg
+                # product reduces over LANES of the transposed weights
+                # (row [1,2R] -> column [2D,1]); gating runs in column
+                # form; the dense/skip products reduce over SUBLANES of
+                # the standard weights (column -> row). f32 accumulate
+                # (bf16 weights upcast elementwise).
+                fg = jnp.sum(x_cat * layer_wT_ref[i].astype(jnp.float32),
+                             axis=1, keepdims=True)       # [2D, 1]
+                fg = fg + layer_addT_ref[i]
+                if has_lc:
+                    fg = fg + jnp.sum(
+                        lc_t * lc_wT_ref[i].astype(jnp.float32),
+                        axis=1, keepdims=True)
+                tg = jnp.tanh(fg)
+                out_col = tg[:D] * (0.5 + 0.5 * tg[D:])   # [D, 1]
+                d = jnp.sum(out_col * dense_w_ref[i].astype(jnp.float32),
+                            axis=0, keepdims=True)        # [1, R]
+                current = current + d + dense_add_ref[i]
+                # Skip stays on the VPU too: routing it to the MXU via a
+                # per-layer transpose of out_col measured SLOWER (14.82
+                # vs 12.38 us/step — the [D,1]->[1,D] relayout costs
+                # more than the [D,S] multiply-reduce).
+                skip_sum = skip_sum + jnp.sum(
+                    out_col * skip_w_ref[i].astype(jnp.float32),
+                    axis=0, keepdims=True)                # [1, S]
+                continue
             fg = mxu_dot(x_cat.astype(layer_w_ref.dtype), layer_w_ref[i])
             fg = fg + layer_add_ref[0, i]
             if has_lc:
@@ -1299,13 +1365,19 @@ def _run_sampler_kernel_hbm_stream(packed: PackedSampler,
     assert T_pad % C == 0 and T_pad >= n_total
     fdtype = forced_lanes.dtype
     has_lc = lc_stream is not None
+    # b=1 VPU-chain path: enabled by the presence of the transposed
+    # weight fields (packed only at batch_size == 1; stripped by the
+    # vpu_b1=False escape hatch). Presence is part of the pytree
+    # STRUCTURE, so it is static under jit.
+    vpu_chain = (batch_size == 1 and packed.layer_wT is not None
+                 and (not has_lc or packed.lc_wT is not None))
     # LC chunk rows: cap each [LCC, B, 128]-lane VMEM slot at ~2 MB.
     LCC = min(_IO_CHUNK, max(8, (1 << 21) // (B * 128 * 4)))
     kernel = functools.partial(
         _sampler_kernel_hbm_stream, config=c, offsets=ring_offsets(c),
         n_total=n_total, n_forced=n_forced, batch_size=B,
         inv_temperature=1.0 / temperature, io_chunk=C, resume=resume,
-        has_lc=has_lc, lc_chunk=LCC)
+        has_lc=has_lc, lc_chunk=LCC, vpu_chain=vpu_chain)
     # collect_logits: True = every step; int W = ring of the last
     # W steps (bounded VMEM for arbitrarily long runs); False = 1.
     n_log = (n_total if collect_logits is True
@@ -1322,6 +1394,10 @@ def _run_sampler_kernel_hbm_stream(packed: PackedSampler,
                 packed.skip_b, packed.post1_w, packed.post1_b,
                 packed.post2_w, packed.post2_b, forced_lanes, ring_in,
                 causal_in]
+    if vpu_chain:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM),  # layer_wT
+                     pl.BlockSpec(memory_space=pltpu.VMEM)]  # layer_addT
+        operands += [packed.layer_wT, packed.layer_addT]
     scratch = [
         pltpu.VMEM((B, (kw_in - 1) * c.input_channels), jnp.float32),
         pltpu.VMEM((L, B, 128), jnp.float32),      # rbuf
@@ -1347,6 +1423,9 @@ def _run_sampler_kernel_hbm_stream(packed: PackedSampler,
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM),  # lc_w
                      pl.BlockSpec(memory_space=pl.ANY)]      # lc stream
         operands += [packed.lc_w, lc_lanes]
+        if vpu_chain:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            operands.append(packed.lc_wT)
         scratch.append(pltpu.VMEM((2, LCC, B, 128), jnp.float32))
         sems.append(pltpu.SemaphoreType.DMA((2,)))
 
