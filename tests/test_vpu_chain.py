@@ -80,20 +80,67 @@ def test_vpu_chain_forced_logits_match_forward(variant, rng):
                                rtol=1e-4, atol=1e-5)
 
 
-def test_vpu_and_mxu_chains_agree(rng):
+@pytest.mark.parametrize("path", ["prefill", "stream_io", "vmem_seq"])
+def test_vpu_and_mxu_chains_agree(path, rng):
+    """All three kernel paths that can carry the b=1 VPU chain: the
+    prefill entry (routes to the VMEM decode at this scale), the
+    streamed-IO kernel, and the sequential all-VMEM kernel."""
     cfg = small_config()
     params = init_params(jax.random.PRNGKey(0), cfg)
     B, T = 1, cfg.receptive_field + 9
     codes = jnp.asarray(rng.randint(0, cfg.quantization_channels, (B, T)))
+    kw = {"prefill": dict(prefill=True),
+          "stream_io": dict(ring_in_hbm=True, stream_io=True),
+          "vmem_seq": {}}[path]
 
     _, lg_vpu = generate_pallas(
         params, cfg, n_samples=1, seed=0, batch_size=B, seed_codes=codes,
-        prefill=True, collect_logits=True, interpret=True)
+        collect_logits=True, interpret=True, **kw)
     _, lg_mxu = generate_pallas(
         params, cfg, n_samples=1, seed=0, batch_size=B, seed_codes=codes,
-        prefill=True, collect_logits=True, interpret=True, vpu_b1=False)
+        collect_logits=True, interpret=True, vpu_b1=False, **kw)
     np.testing.assert_allclose(np.asarray(lg_vpu), np.asarray(lg_mxu),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("variant", ["plain", "lc"])
+def test_vmem_kernel_vpu_chain_matches_forward(variant, rng):
+    """The all-VMEM sequential kernel's b=1 VPU branch (no prefill)."""
+    cfg = _variant_cfg(variant)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    B, T = 1, cfg.receptive_field + 6
+    codes = jnp.asarray(rng.randint(0, cfg.quantization_channels, (B, T)))
+    lc_kw = {}
+    lc_full = None
+    if variant == "lc":
+        stream = jnp.asarray(rng.standard_normal((B, T, 3))
+                             .astype(np.float32))
+        lc_full = stream
+        lc_kw = dict(lc=stream[:, T - 1:], lc_prime=stream[:, :T - 1])
+
+    _, logits = generate_pallas(
+        params, cfg, n_samples=1, seed=0, batch_size=B, seed_codes=codes,
+        collect_logits=True, interpret=True, **lc_kw)
+    full = forward(params, cfg, one_hot(codes, cfg.quantization_channels),
+                   None, lc=lc_full)
+    np.testing.assert_allclose(np.asarray(logits[:, :T]), np.asarray(full),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_prefill_vmem_decode_batch2_matches_forward(rng):
+    """The prefilled VMEM decode at B > 1 (MXU chain + resume state)."""
+    cfg = small_config()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    B, T = 2, cfg.receptive_field + 5
+    codes = jnp.asarray(rng.randint(0, cfg.quantization_channels, (B, T)))
+    _, logits = generate_pallas(
+        params, cfg, n_samples=1, seed=0, batch_size=B, seed_codes=codes,
+        prefill=True, collect_logits=True, interpret=True)
+    full = forward(params, cfg, one_hot(codes, cfg.quantization_channels),
+                   None)
+    np.testing.assert_allclose(np.asarray(logits[:, -1]),
+                               np.asarray(full[:, -1]),
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_transposed_fields_only_at_b1():

@@ -242,6 +242,44 @@ def main():
     ok = outl.shape == (B, 4096) and outl.min() >= 0 and outl.max() < 256
     check("lc prefill b8 seeded generation", ok)
 
+    # 7) b=1 VPU matvec chain (round 4): prefill on 50k codes, then
+    # teacher-force a 50k-step CONTINUATION through the streamed decode
+    # kernel (the VPU reductions + ring DMA at batch 1, in the decode
+    # phase where the chain actually runs) — tail-logit window vs the
+    # conv forward, then same-seed determinism of free-running
+    # generation. (A prefill generate_pallas call with n_samples=1 has
+    # only ONE decode logit — comparing it against a W-row oracle
+    # window broadcasts across positions and false-fails; caught here
+    # on first run.)
+    codes_b1 = jnp.asarray(rng.randint(0, 256, (1, T_long)))
+    P1 = T_long // 2
+    cont1 = T_long - P1
+    carry1 = prefill_carry(params, paper, codes_b1[:, :P1])
+    packed1 = pack_sampler_weights(params, paper, 1)
+    forced1 = jnp.transpose(codes_b1[:, P1 - 1:P1 - 1 + cont1])  # [cont,1]
+    T_pad1 = -(-cont1 // _IO_CHUNK) * _IO_CHUNK
+    lanes1 = jnp.zeros((T_pad1, 128), jnp.int32).at[:cont1, 0:1].set(forced1)
+    _, logits_v, _, _ = _run_sampler_kernel_hbm_stream(
+        packed1, lanes1, jnp.asarray([0, carry1.t_abs], jnp.int32),
+        carry1.ring, carry1.causal, paper, cont1, cont1, 1, 1.0, W,
+        resume=True)
+    logits_v = np.asarray(_logits_in_step_order(logits_v, W, cont1))
+    logits_v = np.moveaxis(logits_v, 0, 1)                       # [1, W, Q]
+    oracle_v = np.asarray(forced_logits_window(
+        params, paper, codes_b1[:, :P1 - 1 + cont1], W))
+    err = float(np.max(np.abs(logits_v - oracle_v)))
+    scale = float(np.max(np.abs(oracle_v)))
+    check("vpu-chain b1 50k-prefill + 50k forced tail",
+          err <= 2e-4 * max(scale, 1.0),
+          f"max|d|={err:.2e} scale={scale:.1f}")
+    g1 = np.asarray(generate_pallas(params, paper, n_samples=50_000,
+                                    seed=11, batch_size=1, prefill=True))
+    g2 = np.asarray(generate_pallas(params, paper, n_samples=50_000,
+                                    seed=11, batch_size=1, prefill=True))
+    check("vpu-chain b1 50k sampled determinism",
+          bool(np.array_equal(g1, g2)),
+          f"diff_count={int(np.sum(g1 != g2))}")
+
     print("\n" + ("ALL CHECKS PASSED" if not FAILURES
                   else f"FAILED: {FAILURES}"), flush=True)
     sys.exit(1 if FAILURES else 0)

@@ -244,14 +244,29 @@ def _sampler_kernel(
     *rest,
     config: WaveNetConfig, offsets: Tuple[int, ...], n_total: int,
     n_forced: int, batch_size: int, inv_temperature: float,
-    has_lc: bool = False,
+    has_lc: bool = False, vpu_chain: bool = False, resume: bool = False,
 ):
+    # Optional input groups, in operand order: [ring_init, causal_init]
+    # when resume (prefilled state; seed_ref is then [seed, t0]);
+    # [layer_wT, layer_addT] when vpu_chain (b=1 VPU matvec path);
+    # [lc_w, lc(, lc_wT)] when has_lc.
+    ring_init_ref = causal_init_ref = None
+    layer_wT_ref = layer_addT_ref = lc_wT_ref = None
+    lc_w_ref = lc_ref = None
+    i0 = 0
+    if resume:
+        ring_init_ref, causal_init_ref = rest[0], rest[1]
+        i0 = 2
+    if vpu_chain:
+        layer_wT_ref, layer_addT_ref = rest[i0], rest[i0 + 1]
+        i0 += 2
     if has_lc:
-        (lc_w_ref, lc_ref, codes_ref, logits_ref,
-         ring_ref, causal_buf_ref) = rest
-    else:
-        lc_w_ref = lc_ref = None
-        codes_ref, logits_ref, ring_ref, causal_buf_ref = rest
+        lc_w_ref, lc_ref = rest[i0], rest[i0 + 1]
+        i0 += 2
+        if vpu_chain:
+            lc_wT_ref = rest[i0]
+            i0 += 1
+    codes_ref, logits_ref, ring_ref, causal_buf_ref = rest[i0:]
     # ring_ref dtype may be bf16 (state_dtype option): halves the VMEM
     # state so batch fits ~2x further; past values requantize on store.
     c = config
@@ -264,8 +279,17 @@ def _sampler_kernel(
     # sampling streams across chunks.
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
-    ring_ref[...] = jnp.zeros_like(ring_ref)
-    causal_buf_ref[...] = jnp.zeros_like(causal_buf_ref)
+    if resume:
+        # Prefilled state (prefill_carry): ring rows + causal shift
+        # register land in VMEM once; the ring phase follows the
+        # ABSOLUTE step t0 + t like the streamed kernel's resume path.
+        ring_ref[...] = ring_init_ref[...].astype(ring_ref.dtype)
+        causal_buf_ref[...] = causal_init_ref[...]
+        t0 = seed_ref[1]
+    else:
+        ring_ref[...] = jnp.zeros_like(ring_ref)
+        causal_buf_ref[...] = jnp.zeros_like(causal_buf_ref)
+        t0 = 0
 
     def featurize(x_col):  # [B, 1] f32 carry -> [B, C_in] features
         if c.scalar_input:
@@ -298,10 +322,29 @@ def _sampler_kernel(
 
         skip_sum = jnp.zeros((B, S), jnp.float32)
         for i, dilation in enumerate(c.dilations):
-            pos = offsets[i] + t % dilation
+            pos = offsets[i] + (t0 + t) % dilation
             past = ring_ref[pos].astype(jnp.float32)  # [B, R]
             ring_ref[pos] = current.astype(ring_ref.dtype)
             x_cat = jnp.concatenate([past, current], axis=-1)  # [B, 2R]
+            if vpu_chain:
+                # b=1 VPU matvec chain — identical math/layout to the
+                # streamed kernel's branch (PackedSampler docstring).
+                fg = jnp.sum(x_cat * layer_wT_ref[i].astype(jnp.float32),
+                             axis=1, keepdims=True)       # [2D, 1]
+                fg = fg + layer_addT_ref[i]
+                if has_lc:
+                    fg = fg + jnp.sum(
+                        lc_t * lc_wT_ref[i].astype(jnp.float32),
+                        axis=1, keepdims=True)
+                tg = jnp.tanh(fg)
+                out_col = tg[:D] * (0.5 + 0.5 * tg[D:])   # [D, 1]
+                d = jnp.sum(out_col * dense_w_ref[i].astype(jnp.float32),
+                            axis=0, keepdims=True)        # [1, R]
+                current = current + d + dense_add_ref[i]
+                skip_sum = skip_sum + jnp.sum(
+                    out_col * skip_w_ref[i].astype(jnp.float32),
+                    axis=0, keepdims=True)                # [1, S]
+                continue
             fg = mxu_dot(x_cat.astype(layer_w_ref.dtype), layer_w_ref[i])
             fg = fg + layer_add_ref[0, i]
             if has_lc:
@@ -381,7 +424,9 @@ def _run_sampler_kernel(packed: PackedSampler, forced: jnp.ndarray,
                         batch_size: int, temperature: float,
                         collect_logits: bool, state_dtype=jnp.float32,
                         batch_chunk: int = 0,
-                        lc_stream: Optional[jnp.ndarray] = None):
+                        lc_stream: Optional[jnp.ndarray] = None,
+                        ring_init: Optional[jnp.ndarray] = None,
+                        causal_init: Optional[jnp.ndarray] = None):
     c = config
     B, Q, R = batch_size, c.quantization_channels, c.residual_channels
     sum_d = sum(c.dilations)
@@ -390,11 +435,21 @@ def _run_sampler_kernel(packed: PackedSampler, forced: jnp.ndarray,
         raise ValueError(f"batch {B} not divisible by chunk {bc}")
     nb = B // bc
     has_lc = lc_stream is not None
+    # Prefilled-state resume: ring_init [sum_d, B, R] + causal_init
+    # [B, (kw-1)*C_in], with seed = [prng_seed, t0].
+    resume = ring_init is not None
+    if resume and nb != 1:
+        raise ValueError("prefilled VMEM decode does not support "
+                         "batch_chunk")
+    # b=1 VPU-chain path (same auto-enable rule as the streamed kernel).
+    vpu_chain = (B == 1 and packed.layer_wT is not None
+                 and (not has_lc or packed.lc_wT is not None))
     kw_in = (c.initial_filter_width if c.scalar_input else c.filter_width)
     kernel = functools.partial(
         _sampler_kernel, config=c, offsets=ring_offsets(c),
         n_total=n_total, n_forced=n_forced, batch_size=bc,
-        inv_temperature=1.0 / temperature, has_lc=has_lc)
+        inv_temperature=1.0 / temperature, has_lc=has_lc,
+        vpu_chain=vpu_chain, resume=resume)
 
     # Grid over batch chunks: each (sequential) program generates its own
     # bc streams with chunk-local ring state and a decorrelated PRNG.
@@ -422,6 +477,12 @@ def _run_sampler_kernel(packed: PackedSampler, forced: jnp.ndarray,
                 packed.dense_w, packed.dense_add, packed.skip_w,
                 packed.skip_b, packed.post1_w, packed.post1_b,
                 packed.post2_w, packed.post2_b, forced_c]
+    if resume:
+        in_specs += [full(), full()]        # ring_init, causal_init
+        operands += [ring_init, causal_init]
+    if vpu_chain:
+        in_specs += [full(), full()]        # layer_wT, layer_addT
+        operands += [packed.layer_wT, packed.layer_addT]
     if has_lc:
         # lc_stream [n_total, B, C_lc] -> chunk-major [nb, n_total, bc, C].
         C_lc = lc_stream.shape[-1]
@@ -433,6 +494,9 @@ def _run_sampler_kernel(packed: PackedSampler, forced: jnp.ndarray,
                          memory_space=pltpu.VMEM),           # lc stream
         ]
         operands += [packed.lc_w, lc_c]
+        if vpu_chain:
+            in_specs.append(full())                          # lc_wT
+            operands.append(packed.lc_wT)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
@@ -655,12 +719,48 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
     if prefill:
         carry = prefill_carry(params, c, seed_codes.astype(fdtype), gc_ids,
                               lc=lc_p)
+        lc_tm = (jnp.moveaxis(lc.astype(jnp.float32), 1, 0)
+                 if lc is not None else None)
+        # Short-enough runs decode in the all-VMEM kernel from the
+        # prefilled ring: no per-layer HBM ring DMA (measured 11.1 vs
+        # 12.4 us/step at b1 — the round-4 b1 production path). The
+        # byte estimate prunes hopeless shapes; a compile/resource
+        # failure falls through to the streamed decode below.
+        from wavenet_tpu.sampler_select import (
+            GENEROUS_VMEM, is_compile_failure)
+        if not batch_chunk and sampler_vmem_bytes(
+                c, B, n_samples, collect_logits is True) < GENEROUS_VMEM:
+            forced_v = jnp.zeros((n_samples, B), fdtype)
+            forced_v = forced_v.at[0].set(carry.last.astype(fdtype))
+            ring_small = carry.ring[:, :, 0:c.residual_channels]
+            args_v = (packed, forced_v,
+                      jnp.asarray([seed, carry.t_abs], jnp.int32), c,
+                      n_samples, 1, B, temperature, collect_logits,
+                      jnp.float32, 0)
+            try:
+                if interpret:
+                    with pltpu.force_tpu_interpret_mode():
+                        codes, logits = _run_sampler_kernel(
+                            *args_v, lc_stream=lc_tm,
+                            ring_init=ring_small,
+                            causal_init=carry.causal)
+                else:
+                    codes, logits = _run_sampler_kernel(
+                        *args_v, lc_stream=lc_tm, ring_init=ring_small,
+                        causal_init=carry.causal)
+            except Exception as e:  # noqa: BLE001 — compile-failure gate
+                if not is_compile_failure(e):
+                    raise
+            else:
+                if collect_logits:
+                    logits = _logits_in_step_order(logits, collect_logits,
+                                                   n_samples)
+                    return codes, jnp.moveaxis(logits, 0, 1)
+                return codes
         C = _IO_CHUNK
         T_pad = -(-n_samples // C) * C
         forced_lanes = jnp.zeros((T_pad, 128), fdtype)
         forced_lanes = forced_lanes.at[0, 0:B].set(carry.last.astype(fdtype))
-        lc_tm = (jnp.moveaxis(lc.astype(jnp.float32), 1, 0)
-                 if lc is not None else None)
         args_p = (packed, forced_lanes,
                   jnp.asarray([seed, carry.t_abs], jnp.int32),
                   carry.ring, carry.causal, c, n_samples, 1, B,
