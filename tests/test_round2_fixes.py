@@ -53,9 +53,22 @@ def test_is_compile_failure_classification():
         jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: vmem"))
     assert is_compile_failure(NotImplementedError("lowering rule"))
     assert is_compile_failure(ValueError("Mosaic failed to compile"))
+    assert is_compile_failure(
+        ValueError("RESOURCE_EXHAUSTED: scoped vmem overflow"))
+    assert is_compile_failure(ValueError("UNIMPLEMENTED: lowering"))
     assert not is_compile_failure(ValueError("operands could not be broadcast"))
     assert not is_compile_failure(TypeError("missing argument"))
     assert not is_compile_failure(KeyError("filter"))
+    # Round-2 verdict: bare substrings must NOT qualify — a genuine bug
+    # whose message merely mentions XLA/INTERNAL/exceeds propagates.
+    assert not is_compile_failure(ValueError("bad XLA reshape in packing"))
+    assert not is_compile_failure(ValueError("index exceeds array bound"))
+    assert not is_compile_failure(
+        ValueError("INTERNAL invariant violated in sampler state"))
+    assert not is_compile_failure(ValueError("Mosaic layout chosen"))
+    # Status prefixes only count at message START.
+    assert not is_compile_failure(
+        ValueError("retry after RESOURCE_EXHAUSTED was handled"))
 
 
 def test_fallback_reraises_genuine_bugs(monkeypatch):
