@@ -61,6 +61,11 @@ from wavenet_tpu.models.wavenet import (
 # fallback in sampler_select handle genuine overflows.
 _VMEM_LIMIT = 100 * 1024 * 1024
 
+# (config, shape, dtype, ...) keys whose prefilled VMEM-decode compile
+# already failed this process: skip straight to the streamed decode on
+# later calls instead of re-paying seconds of failing compile each time.
+_VMEM_DECODE_FAILED: set = set()
+
 
 class PackedSampler(NamedTuple):
     """Kernel-ready weight layout (all fp32, every leaf >= 2-D).
@@ -534,14 +539,20 @@ def _lanes(n: int) -> int:
 
 
 def sampler_vmem_bytes(config: WaveNetConfig, batch_size: int,
-                       n_samples: int, collect_logits: bool = False,
-                       state_bytes: int = 4) -> int:
+                       n_samples: int, collect_logits=False,
+                       state_bytes: int = 4,
+                       resume_inputs: bool = False,
+                       transposed_weights: bool = False) -> int:
     """VMEM footprint of the all-VMEM kernel, INCLUDING Mosaic's 128-lane
     padding of every buffer's last dimension (measured: the ring state
     really costs sum_d*B*128 lanes, 4x its logical bytes at R=32).
 
     Used to decide the sampler path automatically; the working set must
-    fit the ~16 MB/core VMEM.
+    fit the ~16 MB/core VMEM. ``collect_logits`` takes the kernel's own
+    convention (True = every step, int W = window of W rows, falsy = 1).
+    ``resume_inputs`` counts the prefilled ring_init/causal_init operand
+    blocks; ``transposed_weights`` counts the b=1 VPU chain's transposed
+    weight copies (over-counted as a second full weight set).
     """
     c = config
     L, R, D, S, Q = (c.num_layers, c.residual_channels, c.dilation_channels,
@@ -552,16 +563,27 @@ def sampler_vmem_bytes(config: WaveNetConfig, batch_size: int,
                       + D * (_lanes(R) + _lanes(S)) + _lanes(R))
                + _lanes(S)  # layer-summed skip bias
                + S * _lanes(S) + _lanes(S) + S * _lanes(Q) + _lanes(Q))
+    if transposed_weights:
+        weights *= 2
     state = sum(c.dilations) * B * _lanes(R)
-    outputs = (n_samples * _lanes(B)
-               + (n_samples if collect_logits else 1) * B * _lanes(Q))
+    n_log = (n_samples if collect_logits is True
+             else int(collect_logits) if collect_logits else 1)
+    outputs = n_samples * _lanes(B) + n_log * B * _lanes(Q)
+    resume = 0
+    if resume_inputs:
+        # ring_init [sum_d, B, R] f32 + causal_init [B, (kw-1)*C_in] f32.
+        resume = (sum(c.dilations) * B * _lanes(R)
+                  + B * _lanes((c.filter_width - 1) * c.input_channels))
     lc = 0
     if c.lc_enabled:
         # Per-layer projection weights + the whole [n_total, B, C_lc]
         # feature stream resident in VMEM.
         lc = (L * c.lc_channels * _lanes(2 * D)
               + n_samples * B * _lanes(c.lc_channels))
-    return (4 * (weights + outputs + lc + B * _lanes(c.input_channels))
+        if transposed_weights:
+            lc += L * c.lc_channels * _lanes(2 * D)
+    return (4 * (weights + outputs + lc + resume
+                 + B * _lanes(c.input_channels))
             + state_bytes * state)
 
 
@@ -728,8 +750,17 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
         # failure falls through to the streamed decode below.
         from wavenet_tpu.sampler_select import (
             GENEROUS_VMEM, is_compile_failure)
-        if not batch_chunk and sampler_vmem_bytes(
-                c, B, n_samples, collect_logits is True) < GENEROUS_VMEM:
+        vmem_key = (c, B, n_samples,
+                    True if collect_logits is True else int(collect_logits)
+                    if collect_logits else 0,
+                    jnp.dtype(weight_dtype).name, lc is not None,
+                    packed.layer_wT is not None)
+        if (not batch_chunk and vmem_key not in _VMEM_DECODE_FAILED
+                and sampler_vmem_bytes(
+                    c, B, n_samples, collect_logits,
+                    resume_inputs=True,
+                    transposed_weights=packed.layer_wT is not None)
+                < GENEROUS_VMEM):
             forced_v = jnp.zeros((n_samples, B), fdtype)
             forced_v = forced_v.at[0].set(carry.last.astype(fdtype))
             ring_small = carry.ring[:, :, 0:c.residual_channels]
@@ -751,6 +782,10 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
             except Exception as e:  # noqa: BLE001 — compile-failure gate
                 if not is_compile_failure(e):
                     raise
+                # Remember the failed (config, shape) so subsequent
+                # generate calls skip straight to the streamed decode
+                # instead of re-paying the failing compile each time.
+                _VMEM_DECODE_FAILED.add(vmem_key)
             else:
                 if collect_logits:
                     logits = _logits_in_step_order(logits, collect_logits,
@@ -1709,7 +1744,8 @@ def generate_pallas_resumable(params: Params, config: WaveNetConfig,
                               interpret: bool = False,
                               prefill: bool = True,
                               lc: Optional[jnp.ndarray] = None,
-                              lc_prime: Optional[jnp.ndarray] = None):
+                              lc_prime: Optional[jnp.ndarray] = None,
+                              vpu_b1: bool = True):
     """One SEGMENT of streamed generation; returns (codes, carry').
 
     ``lc`` [B, n_samples, C_lc] conditions THIS segment's samples;
@@ -1738,6 +1774,10 @@ def generate_pallas_resumable(params: Params, config: WaveNetConfig,
     B = batch_size
     gc_emb = embed_gc(params, c, gc_ids) if gc_ids is not None else None
     packed = pack_sampler_weights(params, c, B, gc_emb, weight_dtype)
+    if not vpu_b1:
+        # Same A/B escape hatch as generate_pallas: strip the transposed
+        # fields so b=1 segments run the MXU chain instead of the VPU one.
+        packed = packed._replace(layer_wT=None, layer_addT=None, lc_wT=None)
     fdtype = jnp.float32 if c.scalar_input else jnp.int32
 
     first_segment = carry is None
