@@ -1,13 +1,22 @@
 """Fused dilated-layer kernel parity (interpret mode on CPU): forward and
 custom-VJP gradients vs the jnp twin."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+# Retired kernel generation (wavenet_tpu/experiments/): parity tests are
+# opt-in so the default CI run spends its time on the production surface.
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("WAVENET_RUN_EXPERIMENTS"),
+    reason="retired experimental kernel; set WAVENET_RUN_EXPERIMENTS=1")
+
 from jax.experimental.pallas import tpu as pltpu
 
-from wavenet_tpu.kernels.dilated_layer import (
+from wavenet_tpu.experiments.dilated_layer import (
     fused_dilated_layer, fused_dilated_layer_reference)
 
 

@@ -9,7 +9,7 @@ import pytest
 
 from wavenet_tpu.kernels.fat import (assemble_fat_weights,
                                      fat_forward_reference, fat_widths)
-from wavenet_tpu.kernels.fused_stack import pack_stack_weights
+from wavenet_tpu.kernels.stack_pack import pack_stack_weights
 from wavenet_tpu.models.config import WaveNetConfig
 from wavenet_tpu.models.wavenet import embed_gc, init_params
 from tests.test_fused_stack import jnp_stack, small_cfg

@@ -3,13 +3,22 @@ forward must match the jnp stack EXACTLY at every position (the zeroed
 carry is literally causal zero-padding), and the recompute-free backward
 must reproduce jnp gradients."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+# Retired kernel generation (wavenet_tpu/experiments/): parity tests are
+# opt-in so the default CI run spends its time on the production surface.
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("WAVENET_RUN_EXPERIMENTS"),
+    reason="retired experimental kernel; set WAVENET_RUN_EXPERIMENTS=1")
+
 from jax.experimental.pallas import tpu as pltpu
 
-from wavenet_tpu.kernels.fused_stack import (
+from wavenet_tpu.experiments.fused_stack import (
     fused_stack, fused_stack_forward, pack_stack_weights, supports,
     tap_offsets)
 from wavenet_tpu.models.config import WaveNetConfig

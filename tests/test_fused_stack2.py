@@ -7,13 +7,22 @@ the fg/z/dz streams crossing HBM via manual DMA and the packed K=2R
 matmuls.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+# Retired kernel generation (wavenet_tpu/experiments/): parity tests are
+# opt-in so the default CI run spends its time on the production surface.
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("WAVENET_RUN_EXPERIMENTS"),
+    reason="retired experimental kernel; set WAVENET_RUN_EXPERIMENTS=1")
+
 from jax.experimental.pallas import tpu as pltpu
 
-from wavenet_tpu.kernels.fused_stack2 import (
+from wavenet_tpu.experiments.fused_stack2 import (
     fused_stack2, fused_stack2_forward, pack_stack_weights, supports)
 from wavenet_tpu.models.config import WaveNetConfig
 from wavenet_tpu.models.wavenet import embed_gc, init_params

@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from wavenet_tpu.kernels.mxu import mxu_dot
-from wavenet_tpu.kernels.fused_stack import pack_stack_weights, tap_offsets
+from wavenet_tpu.kernels.stack_pack import pack_stack_weights, tap_offsets
 from wavenet_tpu.kernels.fused_stack3 import _rec_shape
 from wavenet_tpu.models.config import paper_config
 from wavenet_tpu.models.wavenet import init_params

@@ -53,7 +53,7 @@ def profile_v3():
     from wavenet_tpu.models.config import paper_config
     from wavenet_tpu.models.wavenet import init_params
     from wavenet_tpu.kernels.fused_stack3 import fused_stack3
-    from wavenet_tpu.kernels.fused_stack import pack_stack_weights
+    from wavenet_tpu.kernels.stack_pack import pack_stack_weights
     cfg = paper_config(compute_dtype="bfloat16")
     params = init_params(jax.random.PRNGKey(0), cfg)
     T = cfg.receptive_field + SAMPLE

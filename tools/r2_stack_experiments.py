@@ -25,9 +25,9 @@ import numpy as np
 
 from wavenet_tpu.models.config import paper_config
 from wavenet_tpu.models.wavenet import init_params
-from wavenet_tpu.kernels.fused_stack import (
+from wavenet_tpu.experiments.fused_stack import (
     fused_stack, pack_stack_weights)
-from wavenet_tpu.kernels.fused_stack2 import fused_stack2, fused_stack2_forward
+from wavenet_tpu.experiments.fused_stack2 import fused_stack2, fused_stack2_forward
 from wavenet_tpu.kernels.fused_stack3 import fused_stack3, fused_stack3_forward
 
 QUICK = len(sys.argv) > 1 and sys.argv[1] == "quick"

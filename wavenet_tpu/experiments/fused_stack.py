@@ -1,6 +1,6 @@
 """Pallas TPU kernels: the ENTIRE dilated stack in one launch (fwd + bwd).
 
-The per-layer fused kernel (kernels/dilated_layer.py) loses to XLA on
+The per-layer fused kernel (now wavenet_tpu/experiments/dilated_layer.py) loses to XLA on
 launch overhead — 60 pallas_calls per step. These kernels run ALL L gated
 layers for a time tile inside one program; the residual activation never
 leaves VMEM between layers.
@@ -50,14 +50,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from wavenet_tpu.kernels.mxu import mxu_dot, mxu_dot_tA, mxu_dot_tB
+from wavenet_tpu.kernels.stack_pack import pack_stack_weights, tap_offsets  # noqa: F401 — shared packing, re-exported
 from wavenet_tpu.models.config import WaveNetConfig
 
 _T_TILE = 512  # max dilation <= t_tile is required; fg/dz block
                # double-buffering dominates VMEM, so tiles stay small
-
-
-def tap_offsets(config: WaveNetConfig) -> Tuple[int, ...]:
-    return tuple(int(o) for o in np.cumsum((0,) + config.dilations[:-1]))
 
 
 def supports(config: WaveNetConfig, t_tile: int = _T_TILE) -> bool:
@@ -377,31 +374,3 @@ def _fs_bwd_full(config, compute_dtype, t_tile, res, grads):
 
 
 fused_stack.defvjp(_fs_fwd_full, _fs_bwd_full)
-
-
-def pack_stack_weights(params, config: WaveNetConfig,
-                       gc_embedding: Optional[jnp.ndarray],
-                       batch_size: int):
-    """Model params -> (w_fg [L,2R,2D], wd [L,D,R], add [L,B,2D], bd [L,1,R])."""
-    c = config
-    L, R, D = c.num_layers, c.residual_channels, c.dilation_channels
-    wf, wg = params["filter"], params["gate"]
-    w_fg = jnp.concatenate([
-        jnp.concatenate([wf[:, 0], wg[:, 0]], axis=-1),
-        jnp.concatenate([wf[:, 1], wg[:, 1]], axis=-1),
-    ], axis=1)
-    wd = params["dense"]
-    add = jnp.zeros((L, batch_size, 2 * D), jnp.float32)
-    if c.use_biases:
-        add = add + jnp.concatenate(
-            [params["filter_bias"], params["gate_bias"]], axis=-1)[:, None, :]
-        bd = params["dense_bias"][:, None, :]
-    else:
-        bd = jnp.zeros((L, 1, R), jnp.float32)
-    if gc_embedding is not None:
-        w_gc = jnp.concatenate([params["gc_filter"], params["gc_gate"]],
-                               axis=-1)
-        add = add + jnp.einsum("bg,lgd->lbd",
-                               gc_embedding.astype(jnp.float32), w_gc,
-                               precision=lax.Precision.HIGHEST)
-    return w_fg, wd, add, bd

@@ -1,6 +1,6 @@
 """Streamed-DMA fused dilated stack (v2): big time tiles, K=64 matmuls.
 
-Round-1's whole-stack kernel (kernels/fused_stack.py) was correct but
+Round-1's whole-stack kernel (now wavenet_tpu/experiments/fused_stack.py) was correct but
 LOST to XLA (157 vs 399 audio-s/s): its fg/dz tensors were grid-blocked
 inputs/outputs, whose double-buffered [Tt, L*2D] blocks dominate VMEM and
 cap the time tile at Tt=512 — leaving ~300 grid programs of ~180 tiny
@@ -61,7 +61,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from wavenet_tpu.kernels.mxu import mxu_dot, mxu_dot_tA, mxu_dot_tB
 from wavenet_tpu.models.config import WaveNetConfig
-from wavenet_tpu.kernels.fused_stack import pack_stack_weights, tap_offsets
+from wavenet_tpu.kernels.stack_pack import pack_stack_weights, tap_offsets
 
 _T_TILE_FWD = 2048
 _T_TILE_BWD = 1024

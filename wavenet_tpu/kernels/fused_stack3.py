@@ -62,7 +62,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from wavenet_tpu.kernels.mxu import mxu_dot, mxu_dot_tA, mxu_dot_tB
 from wavenet_tpu.models.config import WaveNetConfig
-from wavenet_tpu.kernels.fused_stack import pack_stack_weights, tap_offsets
+from wavenet_tpu.kernels.stack_pack import pack_stack_weights, tap_offsets
 
 _T_TILE_FWD = 2048
 _T_TILE_BWD = 1024

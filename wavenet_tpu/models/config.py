@@ -66,10 +66,11 @@ class WaveNetConfig:
     # TPU-specific (EXPERIMENTAL): run the dilated stack through a fused
     # Pallas whole-stack kernel. Requires filter_width == 2.
     use_pallas_stack: bool = False
-    # Which fused-stack kernel: 2 = streamed-DMA big-tile kernel
-    # (kernels/fused_stack2.py), 1 = round-1 block-buffered kernel
-    # (kernels/fused_stack.py, kept as a parity baseline).
-    pallas_stack_version: int = 2
+    # Which fused-stack kernel: 3 = the documented frontier
+    # (kernels/fused_stack3.py, default); 1/2 are retired generations
+    # kept importable under wavenet_tpu/experiments/ (negative results;
+    # all lose to the XLA stack at paper-config shapes).
+    pallas_stack_version: int = 3
     # XLA path: run filter+gate as ONE conv with concatenated [fw, R, 2D]
     # weights — identical numerics (the filter|gate split is just output
     # columns; parity-tested in tests/test_model.py), half the conv

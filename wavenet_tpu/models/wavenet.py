@@ -483,10 +483,10 @@ def _dilated_stack_pallas(params: Params, c: WaveNetConfig,
     """Dilated stack via the whole-stack fused kernel (+ deferred skip).
 
     One pallas_call runs all L layers with a recompute-free custom VJP;
-    the deferred skip head and postprocessing stay in XLA. Version 2
-    (kernels/fused_stack2.py, default) streams fg/z/dz with manual DMA so
-    time tiles are 4-16x larger; version 1 (kernels/fused_stack.py) is
-    the round-1 block-buffered kernel, kept as a parity baseline.
+    the deferred skip head and postprocessing stay in XLA. Version 3
+    (kernels/fused_stack3.py, default) is the documented frontier;
+    versions 1/2 are retired negative results kept importable under
+    wavenet_tpu/experiments/ (see that package's docstring).
     """
     B = current.shape[0]
     L, D, S = c.num_layers, c.dilation_channels, c.skip_channels
@@ -509,7 +509,7 @@ def _dilated_stack_pallas(params: Params, c: WaveNetConfig,
             kernel_dtype, _T_TILE_FWD, _T_TILE_BWD,
             gc_embedding is None, False)
     elif c.pallas_stack_version == 2:
-        from wavenet_tpu.kernels.fused_stack2 import (
+        from wavenet_tpu.experiments.fused_stack2 import (
             fused_stack2, pack_stack_weights, supports)
         if not supports(c):
             raise NotImplementedError(
@@ -519,7 +519,7 @@ def _dilated_stack_pallas(params: Params, c: WaveNetConfig,
         _, all_outs = fused_stack2(current.astype(jnp.float32), w_fg, wd,
                                    add, bd, c, kernel_dtype)
     else:
-        from wavenet_tpu.kernels.fused_stack import (
+        from wavenet_tpu.experiments.fused_stack import (
             fused_stack, pack_stack_weights, supports)
         if not supports(c):
             raise NotImplementedError(
