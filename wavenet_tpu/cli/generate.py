@@ -62,7 +62,13 @@ def get_arguments(argv=None):
                              "verifies them in one parallel pass; output "
                              "distribution is exactly the target's). "
                              "Mu-law models only; batches run as "
-                             "vmapped independent streams.")
+                             "vmapped independent streams. NOTE: at "
+                             "paper-WaveNet scale this is only ~+10% "
+                             "over the plain fused sampler (measured "
+                             "36.4K vs 33.0K samples/s at k=16 on "
+                             "v5-lite) — it pays off for DEEP/WIDE "
+                             "targets where a verify pass amortizes "
+                             "more work, not for the default config.")
     parser.add_argument("--draft_wavenet_params", type=str, default=None,
                         help="Model params JSON for --draft_checkpoint "
                              "(defaults to --wavenet_params).")
