@@ -120,3 +120,49 @@ def test_read_wav_resamples(tmp_path):
     back, got_sr = read_wav(path, sample_rate=sr_out)
     assert got_sr == sr_out
     assert abs(len(back) - sr_out) <= 1
+
+
+def test_bucket_ladder_bounds_unique_shapes(tmp_path):
+    """Whole-utterance mode on a diverse-length corpus emits at most
+    log2(longest/bucket_size)+1 distinct lengths (the geometric ladder),
+    so jit compile count is bounded (round-2 verdict item 8)."""
+    sr = 4000
+    rng = np.random.RandomState(1)
+    # 12 utterances with lengths spread over [0.3s, 8s] — a plain
+    # multiple-of-bucket rule would produce ~12 distinct multiples.
+    lengths = rng.randint(int(0.3 * sr), 8 * sr, size=12)
+    for i, n in enumerate(lengths):
+        x = 0.5 * np.sin(2 * np.pi * 220 * np.arange(n) / sr)
+        wavfile.write(str(tmp_path / f"p1_{i:03d}.wav"), sr,
+                      (x * 32767).astype(np.int16))
+    reader = AudioReader(str(tmp_path), sample_rate=sr, receptive_field=64,
+                         sample_size=None, silence_threshold=None,
+                         bucket_size=2048, seed=0)
+    seen = set()
+    with reader:
+        for _ in range(24):
+            seen.add(reader.dequeue(1).shape[1])
+    max_rungs = int(np.ceil(np.log2(8 * sr / 2048))) + 1
+    assert len(seen) <= max_rungs
+    # Every emitted length is a ladder rung: bucket_size * 2^k.
+    for n in seen:
+        assert n % 2048 == 0 and (n // 2048) & (n // 2048 - 1) == 0
+
+
+def test_whole_utterance_batch_pads_to_longest_rung(tmp_path):
+    """dequeue(n>1) in whole-utterance mode pads the batch to its longest
+    element (reference PaddingFIFOQueue dequeue_many semantics)."""
+    sr = 4000
+    for i, n in enumerate([1000, 5000, 3000, 9000]):
+        x = 0.5 * np.sin(2 * np.pi * 220 * np.arange(n) / sr)
+        wavfile.write(str(tmp_path / f"p1_{i:03d}.wav"), sr,
+                      (x * 32767).astype(np.int16))
+    reader = AudioReader(str(tmp_path), sample_rate=sr, receptive_field=64,
+                         sample_size=None, silence_threshold=None,
+                         bucket_size=2048, seed=3)
+    with reader:
+        for _ in range(6):
+            batch = reader.dequeue(4)
+            assert batch.ndim == 2 and batch.shape[0] == 4
+            n = batch.shape[1]
+            assert n % 2048 == 0 and (n // 2048) & (n // 2048 - 1) == 0

@@ -17,8 +17,11 @@ different machinery:
   ``jax.device_put`` (static shapes keep everything jit-stable).
 
 Whole-utterance mode (sample_size=None) pads each utterance up to a
-bucketed length instead of the reference's dynamic PaddingFIFOQueue
-shapes — XLA wants static shapes, and bucketing bounds recompiles.
+GEOMETRIC bucket ladder (bucket_size * 2^k) instead of the reference's
+dynamic PaddingFIFOQueue shapes — XLA wants static shapes, and the
+ladder bounds the number of distinct shapes (= jit compiles) to
+log2(longest/bucket_size)+1 on any corpus. Batches pad to the longest
+rung present (PaddingFIFOQueue dequeue_many semantics).
 """
 
 from __future__ import annotations
@@ -158,6 +161,7 @@ class AudioReader:
         self.lc_upsample = lc_upsample
         if lc_enabled and (lc_channels is None or lc_hop is None):
             raise ValueError("lc_enabled requires lc_channels and lc_hop")
+        self._seen_buckets: set = set()
         self._queue: "queue.Queue" = queue.Queue(maxsize=queue_size)
         self._threads: List[threading.Thread] = []
         self._stop = threading.Event()
@@ -260,10 +264,15 @@ class AudioReader:
                     if lc is not None:
                         lc = lc[self.sample_size:]
             else:
-                # Whole-utterance mode: pad up to a bucket multiple for
-                # static jit shapes.
+                # Whole-utterance mode: pad up to a bucket-LADDER rung for
+                # static jit shapes. The ladder is geometric (bucket_size,
+                # 2x, 4x, ...), so the number of distinct shapes — and
+                # therefore jit compiles — is bounded by
+                # log2(longest/bucket_size)+1 on ANY corpus, where a plain
+                # multiple-of-bucket_size rule compiles once per distinct
+                # multiple (unbounded on diverse-length data).
                 n = len(audio)
-                bucketed = -(-n // self.bucket_size) * self.bucket_size
+                bucketed = self._bucket_length(n)
                 piece = np.pad(audio, [[0, bucketed - n], [0, 0]],
                                mode="constant")
                 lc_piece = None
@@ -292,6 +301,25 @@ class AudioReader:
         from wavenet_tpu.audio import trim_silence_indices
         return trim_silence_indices(audio, self.silence_threshold)
 
+    def _bucket_length(self, n: int) -> int:
+        """Smallest bucket-ladder rung >= n (rungs: bucket_size * 2^k).
+
+        Prints a one-line note the first time a rung is used — each
+        distinct rung costs one jit compile downstream, and the note
+        makes that visible (reference PaddingFIFOQueue semantics,
+        audio_reader.py ≈:167, had dynamic shapes and no such cost).
+        """
+        rung = self.bucket_size
+        while rung < n:
+            rung *= 2
+        if rung not in self._seen_buckets:
+            self._seen_buckets.add(rung)
+            print(f"whole-utterance bucket {rung} first used "
+                  f"(each distinct bucket length compiles once; ladder "
+                  f"is geometric so at most "
+                  f"log2(longest/{self.bucket_size})+1 shapes)")
+        return rung
+
     def _put(self, item) -> None:
         while not self._stop.is_set():
             try:
@@ -316,10 +344,24 @@ class AudioReader:
         self._threads.clear()
 
     def dequeue(self, num_elements: int) -> np.ndarray:
-        """Audio batch [num_elements, rf + sample_size] float32."""
+        """Audio batch [num_elements, rf + sample_size] float32.
+
+        Whole-utterance mode (sample_size=None) zero-pads every element
+        to the longest rung in the batch — the reference's
+        PaddingFIFOQueue dequeue_many semantics (audio_reader.py ≈:88),
+        with lengths drawn from the bucket ladder so batch shapes stay
+        bounded.
+        """
         batch = [self._queue.get() for _ in range(num_elements)]
         self._last_ids = np.asarray(
             [0 if b[1] is None else b[1] for b in batch], dtype=np.int32)
+        if self.sample_size is None and num_elements > 1:
+            width = max(len(b[0]) for b in batch)
+            batch = [(np.pad(a, (0, width - len(a))),
+                      cid,
+                      None if l is None else
+                      np.pad(l, [(0, width - len(l)), (0, 0)]))
+                     for a, cid, l in batch]
         self._last_lc = (np.stack([b[2] for b in batch])
                          if self.lc_enabled else None)
         return np.stack([b[0] for b in batch])
