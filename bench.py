@@ -11,9 +11,17 @@ stays out of the TPU process; cached in baselines/tf1_fastgen.json).
 The round-1 documented estimate of 100 samples/s is only the fallback
 if TF is unavailable.
 
-Extra fields on the same line: batch-8/64 generation, scan-sampler
-generation, and teacher-forced training throughput in audio-seconds/s per
-chip. All timings force a full host readback (checksum) — plain
+Round-3 scoreboard extensions (VERDICT r2 item 1):
+  * MFU fields against the chip's bf16 peak (wavenet_tpu/utils/flops —
+    the analytic FLOPs model is cross-checked vs XLA cost analysis in
+    tests/test_flops.py), plus the b=1 decode's achieved weight-stream
+    bandwidth (the VMEM roofline axis for single-stream generation).
+  * b64-vs-b128 prefill A/B in THIS process with per-rep times, so the
+    large-batch headline is reproduced or bounded every run.
+  * one train+gen row per BASELINE measurement config (gc, wide,
+    sharded single-chip, LC) under extra["configs"].
+
+All timings force a full host readback (checksum) — plain
 block_until_ready does not reliably synchronize through the axon relay.
 """
 
@@ -62,7 +70,7 @@ def tf1_baseline_samples_per_s():
 
 
 def _timed(fn, *, reps=1):
-    """Median wall time of fn() with forced readback."""
+    """(median, per-rep list) of fn() wall time with forced readback."""
     np.asarray(jax.device_get(fn()))  # warm: compile + first run
     times = []
     for _ in range(reps):
@@ -70,18 +78,29 @@ def _timed(fn, *, reps=1):
         out = fn()
         _ = np.asarray(jax.device_get(out)).sum()
         times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    return float(np.median(times)), times
+
+
+def _make_config(name, **kw):
+    from wavenet_tpu.models.config import CONFIGS, paper_config
+    if name == "lc":
+        # BASELINE's LC measurement shape: paper + 80-mel conditioning at
+        # 12.5 ms hop (wavenet_tpu.features defaults).
+        return paper_config(lc_channels=80, **kw)
+    return CONFIGS[name](**kw)
 
 
 def bench_generation_pallas(batch_size: int, n_samples: int = 16000,
                             state_dtype=None, batch_chunk: int = 0,
                             ring_in_hbm: bool = False,
-                            weight_dtype=None, prefill: bool = False):
-    from wavenet_tpu.models.config import paper_config
+                            weight_dtype=None, prefill: bool = False,
+                            config_name: str = "paper",
+                            gc: bool = False, lc: bool = False,
+                            reps: int = 3, with_reps: bool = False):
     from wavenet_tpu.models.wavenet import init_params
     from wavenet_tpu.kernels.sampler import generate_pallas
 
-    config = paper_config()
+    config = _make_config(config_name)
     params = init_params(jax.random.PRNGKey(0), config)
     kw = {} if state_dtype is None else {"state_dtype": state_dtype}
     if batch_chunk:
@@ -92,39 +111,48 @@ def bench_generation_pallas(batch_size: int, n_samples: int = 16000,
         kw["weight_dtype"] = weight_dtype
     if prefill:
         kw["prefill"] = True
-    dt = _timed(lambda: generate_pallas(params, config, n_samples, seed=2,
-                                        batch_size=batch_size, **kw), reps=3)
-    return batch_size * n_samples / dt
+    if gc:
+        kw["gc_ids"] = jnp.arange(batch_size) % config.gc_cardinality
+    if lc:
+        kw["lc"] = jnp.asarray(np.random.RandomState(0).uniform(
+            -1, 1, (batch_size, n_samples, config.lc_channels)
+        ).astype(np.float32))
+    dt, times = _timed(lambda: generate_pallas(
+        params, config, n_samples, seed=2, batch_size=batch_size, **kw),
+        reps=reps)
+    rate = batch_size * n_samples / dt
+    if with_reps:
+        return rate, [batch_size * n_samples / t for t in times]
+    return rate
 
 
-def bench_generation_scan(batch_size: int, n_samples: int = 16000):
-    from wavenet_tpu.models.config import paper_config
+def bench_generation_scan(batch_size: int, n_samples: int = 16000,
+                          config_name: str = "paper"):
     from wavenet_tpu.models.wavenet import init_params
-    from wavenet_tpu.sample import (
-        generate_codes, init_sampler_state, _featurize)
+    from wavenet_tpu.sample import generate
 
-    config = paper_config()
+    config = _make_config(config_name)
     params = init_params(jax.random.PRNGKey(0), config)
     key = jax.random.PRNGKey(1)
-    first = jnp.full((batch_size,), config.quantization_channels // 2,
-                     jnp.int32)
+    lc = (jnp.zeros((batch_size, n_samples, config.lc_channels))
+          if config.lc_enabled else None)
 
-    def run():
-        state = init_sampler_state(config, batch_size)
-        return generate_codes(params, config, state,
-                              _featurize(first, config), n_samples, key)
-
-    dt = _timed(run, reps=1)
+    dt, _ = _timed(lambda: generate(params, config, n_samples, key,
+                                    batch_size=batch_size, lc=lc), reps=1)
     return batch_size * n_samples / dt
 
 
 def bench_training(batch_size: int = 8, sample_size: int = 16000,
-                   compute_dtype: str = "bfloat16"):
-    from wavenet_tpu.models.config import paper_config
+                   compute_dtype: str = "bfloat16",
+                   config_name: str = "paper", gc: bool = False,
+                   lc: bool = False, remat: bool = False,
+                   n_steps: int = 10, with_mfu: bool = False):
     from wavenet_tpu.train_lib import (
         create_train_state, make_optimizer, make_train_step)
+    from wavenet_tpu.utils.flops import mfu, train_step_flops
 
-    config = paper_config(compute_dtype=compute_dtype)
+    config = _make_config(config_name, compute_dtype=compute_dtype,
+                          remat=remat)
     optimizer = make_optimizer("adam", 1e-3)
     state = create_train_state(jax.random.PRNGKey(0), config, optimizer)
     train_step = make_train_step(config, optimizer, None)
@@ -132,16 +160,25 @@ def bench_training(batch_size: int = 8, sample_size: int = 16000,
     T = config.receptive_field + sample_size
     audio = jnp.asarray(np.random.RandomState(0).uniform(
         -1, 1, (batch_size, T)).astype(np.float32))
+    gc_ids = (jnp.arange(batch_size) % config.gc_cardinality
+              if gc else None)
+    lc_feats = (jnp.asarray(np.random.RandomState(1).uniform(
+        -1, 1, (batch_size, T, config.lc_channels)).astype(np.float32))
+        if lc else None)
 
-    state, metrics = train_step(state, audio)  # compile + warm
+    state, metrics = train_step(state, audio, gc_ids, lc_feats)  # compile
     _ = float(jax.device_get(metrics["loss"]))
-    n_steps = 10
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        state, metrics = train_step(state, audio)
+        state, metrics = train_step(state, audio, gc_ids, lc_feats)
     _ = float(jax.device_get(metrics["loss"]))  # sync through the relay
     dt = (time.perf_counter() - t0) / n_steps
-    return batch_size * sample_size / config.sample_rate / dt
+    rate = batch_size * sample_size / config.sample_rate / dt
+    if with_mfu:
+        util = mfu(train_step_flops(config, batch_size, sample_size) / dt,
+                   str(jax.devices()[0].device_kind))
+        return rate, util
+    return rate
 
 
 def _try(fn, *args, **kw):
@@ -159,8 +196,81 @@ def _round(x, nd=2):
     return None if x is None else round(x, nd)
 
 
+def _pair(x, nd=2):
+    """(value, mfu) pair from with_mfu measurements; None-safe."""
+    if x is None:
+        return None, None
+    rate, util = x
+    return _round(rate, nd), _round(util, 4) if util is not None else None
+
+
+def bench_config_rows():
+    """One train+gen row per BASELINE measurement config (VERDICT r2 #1c).
+
+    Batch sizes match BASELINE.md's historical rows so numbers are
+    comparable across rounds; gen rows use the fastest path each config
+    supports (prefill kernel where it fits, scan for scalar/huge)."""
+    rows = {}
+    # gc: paper + 109-speaker embedding.
+    tr = _try(bench_training, batch_size=2, config_name="gc", gc=True,
+              n_steps=5, with_mfu=True)
+    rate, util = _pair(tr, 2)
+    rows["gc"] = {
+        "train_audio_sec_per_s_bf16_b2": rate, "mfu_train": util,
+        "gen_samples_per_s_b1_prefill": _round(_try(
+            bench_generation_pallas, 1, prefill=True, config_name="gc",
+            gc=True, reps=1)),
+    }
+    # wide: 64/1024 scalar input — Pallas sampler requires mu-law codes,
+    # so generation is the scan sampler (scalar feedback loop).
+    tr = _try(bench_training, batch_size=2, config_name="wide", n_steps=5,
+              with_mfu=True)
+    rate, util = _pair(tr, 2)
+    rows["wide"] = {
+        "train_audio_sec_per_s_bf16_b2": rate, "mfu_train": util,
+        "gen_samples_per_s_b1_scan": _round(_try(
+            bench_generation_scan, 1, n_samples=2000, config_name="wide")),
+    }
+    # sharded single-chip: 80L/256ch, remat to fit activations.
+    tr = _try(bench_training, batch_size=1, config_name="sharded",
+              remat=True, n_steps=3, with_mfu=True)
+    rate, util = _pair(tr, 2)
+    rows["sharded"] = {
+        "train_audio_sec_per_s_bf16_b1_remat": rate, "mfu_train": util,
+        "gen_samples_per_s_b1_scan": _round(_try(
+            bench_generation_scan, 1, n_samples=1000,
+            config_name="sharded")),
+    }
+    # LC: paper + 80-channel local conditioning (never measured before
+    # round 3).
+    tr = _try(bench_training, batch_size=8, config_name="lc", lc=True,
+              n_steps=5, with_mfu=True)
+    rate, util = _pair(tr, 2)
+    rows["lc"] = {
+        "train_audio_sec_per_s_bf16_b8": rate, "mfu_train": util,
+        "gen_samples_per_s_b1_prefill": _round(_try(
+            bench_generation_pallas, 1, prefill=True, config_name="lc",
+            lc=True, reps=1)),
+    }
+    return rows
+
+
 def main():
+    import os
+
+    from wavenet_tpu.models.config import paper_config
+    from wavenet_tpu.utils.flops import (
+        gen_flops_per_sample, mfu, weight_bytes)
+
+    # Same persistent XLA cache as the CLIs: repeat bench runs skip the
+    # ~dozen fresh compiles this scoreboard now contains.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/wavenet_tpu_xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     tf1_rate, tf1_kind = tf1_baseline_samples_per_s()
+    device_kind = str(jax.devices()[0].device_kind)
+    paper = paper_config()
     # Headline (round 3): prefill + streamed decode — parallel conv
     # priming replaces the receptive-field forced steps (38% of a 16k
     # run), then the fused kernel decodes. b1/b8: exact-f32 weights (the
@@ -170,20 +280,27 @@ def main():
     gen_b1 = _try(bench_generation_pallas, 1, prefill=True)
     gen_b1_seq = _try(bench_generation_pallas, 1)
     gen_b8 = _try(bench_generation_pallas, 8, prefill=True)
-    gen_b64 = _try(bench_generation_pallas, 64, prefill=True,
-                   weight_dtype=jnp.bfloat16)
+    # b64-vs-b128 prefill A/B, same process, per-rep rates recorded: the
+    # big-batch headline must be reproduced (or bounded) every run.
+    ab64 = _try(bench_generation_pallas, 64, prefill=True,
+                weight_dtype=jnp.bfloat16, reps=3, with_reps=True)
+    ab128 = _try(bench_generation_pallas, 128, prefill=True,
+                 weight_dtype=jnp.bfloat16, reps=3, with_reps=True)
+    gen_b64 = ab64[0] if ab64 else None
+    gen_b128 = ab128[0] if ab128 else None
     gen_b64_f32 = _try(bench_generation_pallas, 64, prefill=True)
-    gen_b128 = _try(bench_generation_pallas, 128, prefill=True,
-                    weight_dtype=jnp.bfloat16)
     gen_b64_scan = _try(bench_generation_scan, 64, n_samples=4000)
     train_bf16 = _try(bench_training, batch_size=8,
-                      compute_dtype="bfloat16")
+                      compute_dtype="bfloat16", with_mfu=True)
+    train_bf16_rate, mfu_train = _pair(train_bf16, 3)
     train_fp32 = _try(bench_training, batch_size=2, compute_dtype="float32")
+    configs = _try(bench_config_rows) or {}
     # Headline falls back to the sequential b1 kernel so the driver still
     # gets a b1 number if the prefill path alone regresses.
     headline = next((x for x in (gen_b1, gen_b1_seq) if x), None)
     if headline is None:
         headline = _try(bench_generation_scan, 1, n_samples=4000)
+    gen_flops = gen_flops_per_sample(paper)
     print(json.dumps({
         "metric": "gen_samples_per_s_b1_paper",
         "value": _round(headline),
@@ -197,9 +314,25 @@ def main():
             "gen_samples_per_s_b64_prefill_bf16w": _round(gen_b64),
             "gen_samples_per_s_b64_prefill_f32": _round(gen_b64_f32),
             "gen_samples_per_s_b128_prefill_bf16w": _round(gen_b128),
+            "gen_b64_rates_per_rep": ([_round(r) for r in ab64[1]]
+                                      if ab64 else None),
+            "gen_b128_rates_per_rep": ([_round(r) for r in ab128[1]]
+                                       if ab128 else None),
             "gen_samples_per_s_b64_scan": _round(gen_b64_scan),
-            "train_audio_sec_per_s_bf16_b8": _round(train_bf16, 3),
+            "train_audio_sec_per_s_bf16_b8": train_bf16_rate,
             "train_audio_sec_per_s_fp32_b2": _round(train_fp32, 3),
+            # Roofline audit fields (VERDICT r2 #1a): MFU vs the chip's
+            # bf16 peak (utils/flops.py, XLA-cost-analysis-checked) and
+            # the b1 decode's achieved VMEM weight-stream bandwidth
+            # (every step reads the full f32 working set).
+            "mfu_train_bf16_b8": mfu_train,
+            "mfu_gen_b64_prefill_bf16w": _round(
+                mfu(gen_b64 * gen_flops if gen_b64 else None, device_kind),
+                4),
+            "gen_b1_weight_stream_gb_s": _round(
+                headline * weight_bytes(paper) / 1e9 if headline else None,
+                1),
+            "configs": configs,
             "realtime_factor_b1_16khz": _round(
                 headline / 16000.0 if headline else None),
             "device": str(jax.devices()[0]),
