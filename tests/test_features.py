@@ -112,3 +112,34 @@ def test_cli_main(tmp_path):
                         "--hop", "50", "--n_fft", "256"])
     assert rc == 0
     assert os.path.exists(str(d / "p1_000.lc.npy"))
+
+
+def test_write_sidecars_with_external_stats(tmp_path):
+    """A held-out split normalized with --stats reuses the TRAINING
+    corpus's mean/std (per-split stats would shift the conditioning
+    scale the model was trained on)."""
+    from scipy.io import wavfile
+
+    sr, hop, n_mels = 2000, 50, 8
+    train, held = tmp_path / "train", tmp_path / "held"
+    train.mkdir(); held.mkdir()
+    t = np.arange(sr) / sr
+    for d, amp in ((train, 0.5), (held, 0.05)):  # held-out is quieter
+        wavfile.write(str(d / "p1_001.wav"), sr,
+                      (amp * np.sin(2 * np.pi * 300 * t) * 32767
+                       ).astype(np.int16))
+    write_sidecars(str(train), sr, n_mels, hop, n_fft=256,
+                   log=lambda *a: None)
+    stats = str(train / "lc_stats.npz")
+    write_sidecars(str(held), sr, n_mels, hop, n_fft=256,
+                   stats_path=stats, log=lambda *a: None)
+    # No per-split stats file; features are on the train scale, so the
+    # quieter split standardizes BELOW the train mean, not to zero.
+    assert not os.path.exists(str(held / "lc_stats.npz"))
+    side = np.load(str(held / "p1_001.lc.npy"))
+    assert side.mean() < -0.5
+
+    # Mismatched extraction params are rejected.
+    with pytest.raises(ValueError, match="was computed for"):
+        write_sidecars(str(held), sr, n_mels, hop * 2, n_fft=256,
+                       stats_path=stats, log=lambda *a: None)

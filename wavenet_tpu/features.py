@@ -113,6 +113,7 @@ def write_sidecars(audio_dir: str, sample_rate: int, n_mels: int,
                    hop: int, n_fft: int = 1024,
                    fmin: float = 0.0, fmax: Optional[float] = None,
                    normalize: bool = True,
+                   stats_path: Optional[str] = None,
                    log=print) -> int:
     """Walk ``audio_dir``; write ``<stem>.lc.npy`` log-mel sidecars.
 
@@ -123,6 +124,11 @@ def write_sidecars(audio_dir: str, sample_rate: int, n_mels: int,
     (zero mean, unit variance) — the usual conditioning-scale hygiene;
     statistics are saved to ``lc_stats.npz`` in the corpus root for
     generation-time reuse.
+
+    ``stats_path``: apply the mean/std from an EXISTING lc_stats.npz
+    instead of computing this directory's own — required for held-out /
+    eval splits, whose conditioning must live on the training corpus's
+    scale (per-split statistics would shift every feature dim).
     """
     from wavenet_tpu.data.reader import find_files
     from wavenet_tpu.audio import read_wav
@@ -130,12 +136,26 @@ def write_sidecars(audio_dir: str, sample_rate: int, n_mels: int,
     files = find_files(audio_dir)
     if not files:
         raise FileNotFoundError(f"no wav files under '{audio_dir}'")
+    ext_stats = None
+    if stats_path is not None:
+        with np.load(stats_path) as z:
+            if int(z["n_mels"]) != n_mels or int(z["hop"]) != hop or \
+                    int(z["sample_rate"]) != sample_rate:
+                raise ValueError(
+                    f"{stats_path} was computed for n_mels="
+                    f"{int(z['n_mels'])}, hop={int(z['hop'])}, sr="
+                    f"{int(z['sample_rate'])}; requested "
+                    f"({n_mels}, {hop}, {sample_rate})")
+            ext_stats = (z["mean"], z["std"])
     feats = []
     for path in files:
         audio, _ = read_wav(path, sample_rate)
         feats.append(log_mel_spectrogram(audio, sample_rate, n_mels, hop,
                                          n_fft, fmin, fmax))
-    if normalize:
+    if ext_stats is not None:
+        mean, std = ext_stats
+        feats = [(f - mean) / std for f in feats]
+    elif normalize:
         allf = np.concatenate(feats, axis=0)
         mean = allf.mean(axis=0)
         std = np.maximum(allf.std(axis=0), 1e-6)
@@ -166,10 +186,15 @@ def main(argv=None):
     p.add_argument("--fmax", type=float, default=None)
     p.add_argument("--no_normalize", action="store_true",
                    help="Skip per-dim corpus standardization.")
+    p.add_argument("--stats", type=str, default=None,
+                   help="Apply mean/std from an existing lc_stats.npz "
+                        "(use the TRAINING corpus's stats for held-out "
+                        "or eval splits).")
     args = p.parse_args(argv)
     n = write_sidecars(args.audio_dir, args.sample_rate, args.n_mels,
                        args.hop, args.n_fft, args.fmin, args.fmax,
-                       normalize=not args.no_normalize)
+                       normalize=not args.no_normalize,
+                       stats_path=args.stats)
     print(f"Wrote {n} sidecars. Train with: --lc_channels {args.n_mels} "
           f"--lc_hop {args.hop}")
     return 0
