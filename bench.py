@@ -209,7 +209,11 @@ def bench_config_rows():
 
     Batch sizes match BASELINE.md's historical rows so numbers are
     comparable across rounds; gen rows use the fastest path each config
-    supports (prefill kernel where it fits, scan for scalar/huge)."""
+    supports (prefill kernel where it fits, scan for scalar/huge).
+    gc.collect() between rows releases the previous row's params and
+    activations — observed 2.4x slowdowns on the 37M-param sharded row
+    when earlier rows' buffers were still resident."""
+    import gc as _gc
     rows = {}
     # gc: paper + 109-speaker embedding.
     tr = _try(bench_training, batch_size=2, config_name="gc", gc=True,
@@ -221,6 +225,7 @@ def bench_config_rows():
             bench_generation_pallas, 1, prefill=True, config_name="gc",
             gc=True, reps=1)),
     }
+    _gc.collect()
     # wide: 64/1024 scalar input — Pallas sampler requires mu-law codes,
     # so generation is the scan sampler (scalar feedback loop).
     tr = _try(bench_training, batch_size=2, config_name="wide", n_steps=5,
@@ -232,8 +237,9 @@ def bench_config_rows():
             bench_generation_scan, 1, n_samples=2000, config_name="wide")),
     }
     # sharded single-chip: 80L/256ch, remat to fit activations.
+    _gc.collect()
     tr = _try(bench_training, batch_size=1, config_name="sharded",
-              remat=True, n_steps=3, with_mfu=True)
+              remat=True, n_steps=5, with_mfu=True)
     rate, util = _pair(tr, 2)
     rows["sharded"] = {
         "train_audio_sec_per_s_bf16_b1_remat": rate, "mfu_train": util,
@@ -241,6 +247,7 @@ def bench_config_rows():
             bench_generation_scan, 1, n_samples=1000,
             config_name="sharded")),
     }
+    _gc.collect()
     # LC: paper + 80-channel local conditioning (never measured before
     # round 3).
     tr = _try(bench_training, batch_size=8, config_name="lc", lc=True,
