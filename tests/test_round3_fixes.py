@@ -135,3 +135,57 @@ def test_resumable_vpu_b1_escape_hatch(rng, monkeypatch):
         out[flag] = np.concatenate([np.asarray(seg1), np.asarray(seg2)],
                                    axis=1)
     np.testing.assert_array_equal(out[True], out[False])
+
+
+# -- score CLI: LC sidecars + per-file speaker ids ----------------------------
+
+def test_score_cli_lc_and_gc_from_filename(tmp_path, capsys):
+    """Scoring an LC+GC model end to end: the CLI loads each file's
+    .lc.npy sidecar and derives the speaker id from the p<id>_ name."""
+    import json
+
+    from scipy.io import wavfile
+
+    from wavenet_tpu.score import main as score_main
+    from wavenet_tpu.train_lib import (
+        create_train_state, make_optimizer, save_checkpoint)
+
+    cfg = WaveNetConfig(dilations=(1, 2, 4), residual_channels=4,
+                        dilation_channels=4, skip_channels=8,
+                        quantization_channels=32, sample_rate=2000,
+                        gc_channels=4, gc_cardinality=5,
+                        lc_channels=3)
+    pfile = tmp_path / "params.json"
+    base = cfg.to_json_dict()
+    for k in ("gc_channels", "gc_cardinality", "lc_channels"):
+        base.pop(k, None)
+    pfile.write_text(json.dumps(base))
+    state = create_train_state(jax.random.PRNGKey(0), cfg,
+                               make_optimizer("adam", 1e-3))
+    save_checkpoint(str(tmp_path / "ckpt"), state)
+
+    rng = np.random.RandomState(0)
+    t = np.arange(400) / 2000.0
+    wav = (0.5 * np.sin(2 * np.pi * 200 * t) * 32767).astype(np.int16)
+    wpath = tmp_path / "p3_001.wav"
+    wavfile.write(str(wpath), 2000, wav)
+    np.save(str(tmp_path / "p3_001.lc.npy"),
+            rng.randn(400 // 50, 3).astype(np.float32))
+
+    rc = score_main([str(tmp_path / "ckpt"), str(wpath),
+                     f"--wavenet_params={pfile}",
+                     "--gc_channels=4", "--gc_cardinality=5",
+                     "--gc_from_filename",
+                     "--lc_channels=3", "--lc_hop=50"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["samples"] == 400
+    assert 3.0 < out["bits_per_sample"] < 7.0
+
+    # Missing sidecar is a hard error, not silent unconditioned scoring.
+    wav2 = tmp_path / "p2_002.wav"
+    wavfile.write(str(wav2), 2000, wav)
+    with pytest.raises(FileNotFoundError, match="lc.npy"):
+        score_main([str(tmp_path / "ckpt"), str(wav2),
+                    f"--wavenet_params={pfile}",
+                    "--lc_channels=3", "--lc_hop=50"])

@@ -169,6 +169,19 @@ def main(argv=None):
     ap.add_argument("--gc_channels", type=int, default=None)
     ap.add_argument("--gc_cardinality", type=int, default=None)
     ap.add_argument("--gc_id", type=int, default=None)
+    ap.add_argument("--gc_from_filename", action="store_true",
+                    help="Derive each file's speaker id from the VCTK "
+                         "p<id>_ filename pattern (the training-corpus "
+                         "convention), instead of one global --gc_id.")
+    ap.add_argument("--lc_channels", type=int, default=None,
+                    help="Score under local conditioning: loads each "
+                         "file's <stem>.lc.npy sidecar (the training "
+                         "convention) and conditions the likelihood "
+                         "on it.")
+    ap.add_argument("--lc_hop", type=int, default=None)
+    ap.add_argument("--lc_upsample", type=str, default="repeat",
+                    choices=["repeat", "linear"])
+    ap.add_argument("--lc_refine_width", type=int, default=0)
     ap.add_argument("--streaming_chunk", type=int, default=65536,
                     help="Files longer than this score through bounded-"
                          "memory extend_state windows (mu-law models); "
@@ -179,10 +192,15 @@ def main(argv=None):
     from wavenet_tpu.models.wavenet import init_params
     from wavenet_tpu.train_lib import restore_params_only
 
+    if args.lc_channels is not None and args.lc_hop is None:
+        raise ValueError("--lc_channels requires --lc_hop (samples per "
+                         "conditioning frame), like the train CLI.")
     with open(args.wavenet_params) as f:
         raw = json.load(f)
     config = WaveNetConfig.from_json(raw, gc_channels=args.gc_channels,
-                                     gc_cardinality=args.gc_cardinality)
+                                     gc_cardinality=args.gc_cardinality,
+                                     lc_channels=args.lc_channels,
+                                     lc_refine_width=args.lc_refine_width)
     template = init_params(jax.random.PRNGKey(0), config)
     params = restore_params_only(args.checkpoint, template)
     if params is None:
@@ -195,13 +213,31 @@ def main(argv=None):
 
     for path in args.wavs:
         audio, _ = read_wav(path, raw["sample_rate"])
+        if args.gc_from_filename:
+            import os
+
+            from wavenet_tpu.data.reader import parse_speaker_id
+            spk = parse_speaker_id(os.path.basename(path))
+            if spk is None:
+                raise ValueError(f"--gc_from_filename: '{path}' does not "
+                                 "match the p<id>_ pattern")
+            gc_ids = jnp.asarray([spk], jnp.int32)
+        lc = None
+        if args.lc_channels is not None:
+            from wavenet_tpu.lc import (fit_lc_to_length, load_lc_sidecar,
+                                        upsample_lc)
+            feats = load_lc_sidecar(path)
+            if feats is None:
+                raise FileNotFoundError(f"no <stem>.lc.npy next to {path}")
+            up = upsample_lc(feats, args.lc_hop, args.lc_upsample)
+            lc = jnp.asarray(fit_lc_to_length(up, audio.shape[0]))[None]
         stream = (args.streaming_chunk
                   and audio.shape[0] > args.streaming_chunk
                   and not config.scalar_input)
         scorer = (log_likelihood_streaming if stream else log_likelihood)
         kw = {"chunk": args.streaming_chunk} if stream else {}
         out = scorer(params, config, jnp.asarray(audio)[None, :],
-                     gc_ids, **kw)
+                     gc_ids, lc=lc, **kw)
         total = float(jax.device_get(out["total_logp"])[0])
         bits = float(jax.device_get(out["bits_per_sample"])[0])
         n = int(audio.shape[0])
