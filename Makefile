@@ -8,6 +8,11 @@
 # Result recorded in baselines/sampler_stress_r2.txt.
 stress:
 	python tools/r2_sampler_stress.py
+	# Cold-cache compile smoke at the crash-prone tiny scale: record the
+	# known Mosaic crash (tools/mosaic_tiny_repro.py, rc=2 expected) and
+	# ASSERT the production fallback still generates there.
+	-python tools/mosaic_tiny_repro.py
+	python tools/mosaic_tiny_repro.py --fallback-check
 
 native:
 	$(MAKE) -C native

@@ -63,14 +63,51 @@ def child(paper: bool) -> int:
         return 3
 
 
+def fallback_check() -> int:
+    """Assert the PRODUCTION behavior on hardware: generation at the
+    crash-prone tiny scale must still succeed through the ordered
+    sampler fallback (cold cache, fresh process)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      tempfile.mkdtemp(prefix="mosaic_repro_cache_"))
+    sys.path.insert(0, REPO)
+    from wavenet_tpu.models.config import WaveNetConfig
+    from wavenet_tpu.models.wavenet import init_params
+    from wavenet_tpu.sampler_select import generate_with_fallback
+
+    cfg = WaveNetConfig(dilations=(1, 2, 4, 8), residual_channels=4,
+                        dilation_channels=4, skip_channels=8,
+                        quantization_channels=32, use_biases=True)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    codes, name, _ = generate_with_fallback(params, cfg, 32, seed=0,
+                                            batch_size=2)
+    assert codes.shape == (2, 32), codes.shape
+    print(f"fallback check OK: tiny-config generation produced "
+          f"{codes.shape} via '{name}'")
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--paper", action="store_true",
                     help="Compile the paper config instead (expected OK).")
+    ap.add_argument("--fallback-check", action="store_true",
+                    help="Cold-cache production check: tiny-config "
+                         "generation must succeed via the ordered "
+                         "fallback (run on hardware; exits nonzero if "
+                         "generation itself fails).")
     ap.add_argument("--_child", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
     if args._child:
         return child(args.paper)
+    if args.fallback_check:
+        cmd = [sys.executable, "-c",
+               f"import sys; sys.path.insert(0, {REPO!r}); "
+               "from tools.mosaic_tiny_repro import fallback_check; "
+               "raise SystemExit(fallback_check())"]
+        proc = subprocess.run(cmd, timeout=900)
+        return proc.returncode
 
     cmd = [sys.executable, os.path.abspath(__file__), "--_child"]
     if args.paper:

@@ -57,28 +57,60 @@ def main():
         paper_config, sharded_config, wide_config)
 
     print("device:", jax.devices()[0], flush=True)
+    import subprocess
+    import sys
+
+    # paper-v3 is omitted: the round-2 A/B already measured it losing
+    # 2.5-3x at R=D=32, and its train-step compile was observed wedging
+    # the compile service for 25+ min (2026-08-19). Each case runs in a
+    # SUBPROCESS with its own timeout so one wedged compile cannot eat
+    # the sweep.
     cases = [
-        ("paper b8", paper_config, dict(), 8),
-        ("wide b2", wide_config, dict(), 2),
-        ("wide b8", wide_config, dict(), 8),
-        ("sharded b1", sharded_config, dict(remat=True), 1),
-        ("sharded b2", sharded_config, dict(remat=True), 2),
+        ("paper b8", "paper_config", "{}", 8),
+        ("wide b2", "wide_config", "{}", 2),
+        ("wide b8", "wide_config", "{}", 8),
+        ("sharded b1", "sharded_config", "dict(remat=True)", 1),
+        ("sharded b2", "sharded_config", "dict(remat=True)", 2),
     ]
     for tag, factory, kw, b in cases:
         for pallas in (False, True):
-            gc.collect()
-            cfg = factory(compute_dtype="bfloat16",
-                          use_pallas_stack=pallas, **kw)
+            if pallas and tag == "paper b8":
+                continue
+            child = (
+                "import os, sys; sys.path.insert(0, {root!r});\n"
+                "import jax;\n"
+                "jax.config.update('jax_compilation_cache_dir',"
+                " os.path.expanduser('~/.cache/wavenet_tpu_xla'));\n"
+                "jax.config.update("
+                "'jax_persistent_cache_min_compile_time_secs', 1.0);\n"
+                "from wavenet_tpu.models.config import {factory};\n"
+                "from tools.r3_stack_ab import measure;\n"
+                "cfg = {factory}(compute_dtype='bfloat16',"
+                " use_pallas_stack={pallas}, **{kw});\n"
+                "print('CASE', measure(cfg, {b}), flush=True)\n"
+            ).format(root=os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), factory=factory,
+                pallas=pallas, kw=kw, b=b)
             try:
-                rate, util, dt, l0, l1 = measure(cfg, b)
+                proc = subprocess.run(
+                    [sys.executable, "-c", child], timeout=900,
+                    capture_output=True, text=True)
+                line = next((ln for ln in proc.stdout.splitlines()
+                             if ln.startswith("CASE")), None)
+                if line:
+                    rate, util, dt, l0, l1 = eval(line[5:])
+                    print(f"{tag:<11} stack={'v3 ' if pallas else 'xla'}: "
+                          f"{rate:8.1f} audio-s/s  mfu={util:.3f}  "
+                          f"{dt * 1e3:7.2f} ms/step  "
+                          f"loss {l0:.3f}->{l1:.3f}", flush=True)
+                else:
+                    tailmsg = proc.stderr.strip().splitlines()[-1][:140] \
+                        if proc.stderr.strip() else f"rc={proc.returncode}"
+                    print(f"{tag:<11} stack={'v3 ' if pallas else 'xla'}: "
+                          f"FAILED {tailmsg}", flush=True)
+            except subprocess.TimeoutExpired:
                 print(f"{tag:<11} stack={'v3 ' if pallas else 'xla'}: "
-                      f"{rate:8.1f} audio-s/s  mfu={util:.3f}  "
-                      f"{dt * 1e3:7.2f} ms/step  loss {l0:.3f}->{l1:.3f}",
-                      flush=True)
-            except Exception as e:  # noqa: BLE001 — report-and-continue
-                print(f"{tag:<11} stack={'v3 ' if pallas else 'xla'}: "
-                      f"FAILED {type(e).__name__}: {str(e)[:140]}",
-                      flush=True)
+                      f"TIMEOUT (900s — wedged compile)", flush=True)
 
 
 if __name__ == "__main__":
