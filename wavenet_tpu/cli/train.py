@@ -79,6 +79,11 @@ def get_arguments(argv=None):
     parser.add_argument("--lc_upsample", type=str, default="repeat",
                         choices=["repeat", "linear"],
                         help="How LC frames are upsampled to sample rate.")
+    parser.add_argument("--lc_host_upsample", action="store_true",
+                        help="Ship the fully upsampled LC stream to the "
+                             "device instead of frame windows (the "
+                             "pre-round-3 behavior; ~300x the transfer "
+                             "bytes — debugging escape hatch only).")
     parser.add_argument("--lc_refine_width", type=int, default=0,
                         help="Learned LC upsampling (paper §2.5 learned "
                              "mapping): odd depthwise-conv width of the "
@@ -219,6 +224,7 @@ def main(argv=None):
         lc_channels=args.lc_channels,
         lc_hop=args.lc_hop,
         lc_upsample=args.lc_upsample,
+        lc_device_upsample=lc_enabled and not args.lc_host_upsample,
     )
 
     config = WaveNetConfig.from_json(
@@ -254,7 +260,9 @@ def main(argv=None):
     state = shard_train_state(state, config, mesh)
 
     train_step = make_train_step(config, optimizer,
-                                 args.l2_regularization_strength)
+                                 args.l2_regularization_strength,
+                                 lc_hop=args.lc_hop,
+                                 lc_upsample=args.lc_upsample)
 
     os.makedirs(logdir, exist_ok=True)
     writer = SummaryWriter(logdir)

@@ -93,3 +93,83 @@ def load_lc_sidecar(wav_path: str) -> "np.ndarray | None":
     if arr.ndim == 1:
         arr = arr[:, None]
     return np.ascontiguousarray(arr, dtype=np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Device-side upsampling (TPU-native transfer format)
+# ---------------------------------------------------------------------------
+#
+# Shipping the UPSAMPLED stream host->device costs hop x C x 4 bytes per
+# audio sample — ~49 MB per b8/16k training batch at 80 mels / hop 200,
+# which measured ~1 s/step through the device tunnel (2026-08-19) against
+# a 20 ms compute step. The TPU-native format ships FRAMES (~0.3% of the
+# bytes) plus integer alignment metadata, and the jit'd step reconstructs
+# the exact host stream on device (gather for `repeat`, gather+lerp for
+# `linear`).
+
+from typing import NamedTuple
+
+
+class LCFrameChunk(NamedTuple):
+    """Per-chunk frame window + alignment, batched [B, ...].
+
+    Reconstruction contract (must equal the host pipeline bit-for-bit in
+    `repeat` mode, to f32 lerp round-off in `linear`): chunk position t
+    lives at ``orig_start + t`` on the UNtrimmed utterance's sample
+    timeline. Frame row 0 of ``frames`` is utterance frame ``f0``;
+    ``f_valid`` is the utterance's total frame count (edge-hold clips
+    against it). Positions with orig < ``zero_before`` (the
+    receptive-field zero pad: pad position p < rf maps to orig =
+    trim_start + p - rf < trim_start) or t >= ``n_valid`` (the final
+    short chunk's zero tail) are ZERO.
+    """
+    frames: "np.ndarray"       # [B, Fw, C] f32
+    orig_start: "np.ndarray"   # [B] int32
+    f0: "np.ndarray"           # [B] int32
+    f_valid: "np.ndarray"      # [B] int32 (>= 1)
+    n_valid: "np.ndarray"      # [B] int32
+    zero_before: "np.ndarray"  # [B] int32 (= trim_start)
+
+
+def frame_window_size(width: int, hop: int) -> int:
+    """Static frame-window rows needed for a ``width``-sample chunk."""
+    return width // hop + 3
+
+
+def upsample_chunk_jax(chunk: LCFrameChunk, hop: int, mode: str,
+                       width: int):
+    """LCFrameChunk -> upsampled stream [B, width, C] on device.
+
+    jit-friendly (static hop/mode/width); matches
+    ``upsample_lc``+``fit_lc_to_length``+the reader's pad/slice chain.
+    """
+    import jax.numpy as jnp
+
+    frames = jnp.asarray(chunk.frames, jnp.float32)
+    t = jnp.arange(width, dtype=jnp.int32)[None, :]          # [1, W]
+    orig = chunk.orig_start[:, None] + t                      # [B, W]
+    last = (chunk.f_valid - 1)[:, None]                       # [B, 1]
+    if mode == "repeat":
+        f = jnp.clip(jnp.floor_divide(orig, hop), 0, last) - chunk.f0[:, None]
+        f = jnp.clip(f, 0, frames.shape[1] - 1)
+        out = jnp.take_along_axis(frames, f[:, :, None], axis=1)
+    elif mode == "linear":
+        # Piecewise-linear between frame CENTERS f*hop + hop//2, edges
+        # held (np.interp semantics in upsample_lc).
+        x = (orig - hop // 2) / hop                           # [B, W] f32
+        xf = jnp.floor(x)
+        w = (x - xf).astype(jnp.float32)[:, :, None]
+        i0 = jnp.clip(xf.astype(jnp.int32), 0, last) - chunk.f0[:, None]
+        i1 = jnp.clip(xf.astype(jnp.int32) + 1, 0, last) - chunk.f0[:, None]
+        i0 = jnp.clip(i0, 0, frames.shape[1] - 1)
+        i1 = jnp.clip(i1, 0, frames.shape[1] - 1)
+        v0 = jnp.take_along_axis(frames, i0[:, :, None], axis=1)
+        v1 = jnp.take_along_axis(frames, i1[:, :, None], axis=1)
+        # Edge-hold: where the clipped endpoints coincide the lerp is a
+        # no-op regardless of w, exactly like np.interp outside range.
+        out = v0 + (v1 - v0) * w
+    else:
+        raise ValueError(f"unknown upsample mode '{mode}'")
+    mask = ((orig >= chunk.zero_before[:, None])
+            & (t < chunk.n_valid[:, None]))[:, :, None]
+    return jnp.where(mask, out, 0.0)

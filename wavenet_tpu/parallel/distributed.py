@@ -93,6 +93,11 @@ def global_batch_from_local(local_audio: np.ndarray, mesh: Mesh,
             NamedSharding(mesh, P(DATA_AXIS)), local_gc_ids)
     lc = None
     if local_lc is not None:
-        lc = jax.make_array_from_process_local_data(
-            NamedSharding(mesh, P(DATA_AXIS, None, None)), local_lc)
+        # Upsampled stream [b, T, C] or LCFrameChunk — every leaf is
+        # batch-major, so the same per-leaf data sharding applies.
+        lc = jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P(*((DATA_AXIS,)
+                                        + (None,) * (x.ndim - 1)))), x),
+            local_lc)
     return audio, gc, lc

@@ -141,6 +141,9 @@ def shard_batch(audio: np.ndarray, mesh: Mesh, gc_ids=None, lc=None):
         gc_s = jax.device_put(gc_ids, NamedSharding(mesh, P(DATA_AXIS)))
     lc_s = None
     if lc is not None:
-        lc_s = jax.device_put(lc,
-                              NamedSharding(mesh, P(DATA_AXIS, None, None)))
+        # Works for both the upsampled stream [B, T, C] and the
+        # LCFrameChunk NamedTuple (every leaf is batch-major).
+        lc_s = jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(
+                mesh, P(*((DATA_AXIS,) + (None,) * (x.ndim - 1))))), lc)
     return audio_s, gc_s, lc_s

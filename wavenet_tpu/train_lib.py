@@ -54,19 +54,33 @@ def make_optimizer(name: str, learning_rate: float,
 
 def make_train_step(config: WaveNetConfig,
                     optimizer: optax.GradientTransformation,
-                    l2_regularization_strength: Optional[float] = None):
+                    l2_regularization_strength: Optional[float] = None,
+                    lc_hop: Optional[int] = None,
+                    lc_upsample: str = "repeat"):
     """Build the jit'd (state, audio[, gc_ids]) -> (state, metrics) step.
 
     The grad/update/apply chain is the whole program: one device dispatch
     per step, state donated (no reallocation), metrics returned as small
     scalars (reference printed loss per step, train.py ≈:305).
+
+    ``lc`` accepts either the upsampled stream [B, T, C] or an
+    ``lc.LCFrameChunk`` (frame windows + alignment; requires ``lc_hop``)
+    — the TPU-native transfer format, upsampled ON DEVICE inside the
+    step so the host ships ~0.3% of the bytes.
     """
+    from wavenet_tpu.lc import LCFrameChunk, upsample_chunk_jax
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, audio: jnp.ndarray,
                    gc_ids: Optional[jnp.ndarray] = None,
                    lc: Optional[jnp.ndarray] = None
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        if isinstance(lc, LCFrameChunk):
+            if lc_hop is None:
+                raise ValueError("LCFrameChunk input needs lc_hop at "
+                                 "make_train_step time")
+            lc = upsample_chunk_jax(lc, lc_hop, lc_upsample,
+                                    audio.shape[1])
         (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, config, audio, gc_ids,
             l2_regularization_strength, lc)
