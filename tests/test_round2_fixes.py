@@ -159,8 +159,8 @@ def test_nan_stop_skips_final_checkpoint(tmp_path, monkeypatch):
 
     real = tl.make_train_step
 
-    def nan_at_step_2(config, optimizer, l2):
-        step_fn = real(config, optimizer, l2)
+    def nan_at_step_2(config, optimizer, l2, **kw):
+        step_fn = real(config, optimizer, l2, **kw)
 
         def wrapped(state, audio, gc_ids=None, lc=None):
             new_state, metrics = step_fn(state, audio, gc_ids, lc)
