@@ -189,3 +189,23 @@ def test_score_cli_lc_and_gc_from_filename(tmp_path, capsys):
         score_main([str(tmp_path / "ckpt"), str(wav2),
                     f"--wavenet_params={pfile}",
                     "--lc_channels=3", "--lc_hop=50"])
+
+
+def test_max_checkpoints_prunes_old_dirs(tmp_path):
+    """save_checkpoint(max_to_keep=N) keeps only the newest N ckpt dirs
+    (the reference's tf.train.Saver max_to_keep semantics)."""
+    import os
+
+    from wavenet_tpu.train_lib import (
+        TrainState, create_train_state, make_optimizer, save_checkpoint)
+
+    cfg = small_config()
+    state = create_train_state(jax.random.PRNGKey(0), cfg,
+                               make_optimizer("adam", 1e-3))
+    d = str(tmp_path / "logdir")
+    for s in (10, 20, 30, 40):
+        state = TrainState(step=jnp.asarray(s), params=state.params,
+                           opt_state=state.opt_state)
+        save_checkpoint(d, state, max_to_keep=2)
+    kept = sorted(x for x in os.listdir(d) if x.startswith("ckpt-"))
+    assert kept == ["ckpt-30", "ckpt-40"]

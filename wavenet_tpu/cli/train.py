@@ -273,6 +273,38 @@ def main(argv=None):
     timer = StepTimer()
     step = saved_global_step
     poisoned = False
+    # Loss readback LAGS one step: jax dispatch is async, so fetching
+    # step N-1's scalar while step N executes on device hides the
+    # device-roundtrip latency (10-25 ms through a tunneled chip)
+    # behind compute. Checkpoint steps validate synchronously so a
+    # poisoned (non-finite) state is never saved — same guarantee as
+    # the round-2 NaN fix, one step later at worst for the print.
+    pending = None  # (step, metrics, batch_samples)
+
+    def handle(item):
+        """Print/log one step's fetched metrics; True if non-finite."""
+        s, metrics, n_samples = item
+        loss_value = float(jax.device_get(metrics["loss"]))
+        if not np.isfinite(loss_value):
+            # The update for this step has already been applied, so the
+            # in-memory state is poisoned — stop WITHOUT saving it (the
+            # newest on-disk checkpoint stays the last finite one; the
+            # reference would silently continue training on NaNs).
+            print(f"step {s} - NON-FINITE loss ({loss_value}); "
+                  "stopping without saving the poisoned state.")
+            return True
+        duration = timer.lap()
+        aps = audio_seconds_per_second(
+            n_samples, wavenet_params["sample_rate"], duration)
+        print(f"step {s} - loss = {loss_value:.3f}, "
+              f"({duration:.3f} sec/step, {aps:.2f} audio-sec/s)")
+        writer.scalar("loss", loss_value, s)
+        writer.scalar("sec_per_step", duration, s)
+        if "l2_loss" in metrics:
+            writer.scalar("l2_loss",
+                          float(jax.device_get(metrics["l2_loss"])), s)
+        return False
+
     try:
         for step in range(saved_global_step + 1, args.num_steps + 1):
             # batch_size is per host (reference semantics on one host);
@@ -292,41 +324,35 @@ def main(argv=None):
                     jax.block_until_ready(metrics)
             else:
                 state, metrics = train_step(state, audio, gc_ids, lc)
+            n_samples = audio.shape[0] * audio.shape[1]
 
-            loss_value = float(jax.device_get(metrics["loss"]))
-            if not np.isfinite(loss_value):
-                # The update for this step has already been applied, so the
-                # in-memory state is poisoned — stop WITHOUT saving it (the
-                # newest on-disk checkpoint stays the last finite one; the
-                # reference would silently continue training on NaNs).
-                print(f"step {step} - NON-FINITE loss ({loss_value}); "
-                      "stopping without saving the poisoned state.")
-                poisoned = True
-                break
-            duration = timer.lap()
-            aps = audio_seconds_per_second(
-                audio.shape[0] * audio.shape[1],
-                wavenet_params["sample_rate"], duration)
-            print(f"step {step} - loss = {loss_value:.3f}, "
-                  f"({duration:.3f} sec/step, {aps:.2f} audio-sec/s)")
-            writer.scalar("loss", loss_value, step)
-            writer.scalar("sec_per_step", duration, step)
-            if "l2_loss" in metrics:
-                writer.scalar("l2_loss",
-                              float(jax.device_get(metrics["l2_loss"])), step)
+            if pending is not None:
+                poisoned = handle(pending)
+                pending = None
+                if poisoned:
+                    break
+
             if args.histograms and step % 50 == 0:
                 for k, v in state.params.items():
                     writer.histogram(f"params/{k}",
                                      np.asarray(jax.device_get(v)), step)
 
-            if step % args.checkpoint_every == 0:
-                save_checkpoint(logdir, state)
+            if step % args.checkpoint_every == 0 or step == args.num_steps:
+                poisoned = handle((step, metrics, n_samples))
+                if poisoned:
+                    break
+                save_checkpoint(logdir, state, args.max_checkpoints)
                 last_saved_step = step
+            else:
+                pending = (step, metrics, n_samples)
     except KeyboardInterrupt:
         print()
+        pending = None
     finally:
+        if pending is not None and not poisoned:
+            poisoned = handle(pending)
         if step > last_saved_step and not poisoned:
-            save_checkpoint(logdir, state)
+            save_checkpoint(logdir, state, args.max_checkpoints)
         reader.stop_threads()
         writer.close()
     return 0

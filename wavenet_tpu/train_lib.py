@@ -99,17 +99,35 @@ def make_train_step(config: WaveNetConfig,
 # Checkpointing (orbax) — reference train.py save()/load() ≈:150-170
 # ---------------------------------------------------------------------------
 
-def save_checkpoint(directory: str, state: TrainState) -> None:
-    """Write logdir/ckpt-<step>/ (reference wrote model.ckpt-STEP)."""
+def save_checkpoint(directory: str, state: TrainState,
+                    max_to_keep: Optional[int] = None) -> None:
+    """Write logdir/ckpt-<step>/ (reference wrote model.ckpt-STEP).
+
+    ``max_to_keep``: prune the oldest ckpt-* dirs down to this many
+    AFTER a successful save — the reference's tf.train.Saver
+    max_to_keep semantics (train.py ≈:270), which the --max_checkpoints
+    flag feeds.
+    """
     import orbax.checkpoint as ocp
 
     step = int(jax.device_get(state.step))
-    path = os.path.join(os.path.abspath(directory), f"ckpt-{step}")
+    root = os.path.abspath(directory)
+    path = os.path.join(root, f"ckpt-{step}")
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, {"step": step,
                           "params": jax.device_get(state.params),
                           "opt_state": jax.device_get(state.opt_state)},
                    force=True)
+    if max_to_keep is not None and max_to_keep > 0:
+        import re
+        import shutil
+        steps = sorted(
+            int(m.group(1)) for d in os.listdir(root)
+            if (m := re.fullmatch(r"ckpt-(\d+)", d))
+            and os.path.isdir(os.path.join(root, d)))
+        for old in steps[:-max_to_keep]:
+            shutil.rmtree(os.path.join(root, f"ckpt-{old}"),
+                          ignore_errors=True)
 
 
 def latest_checkpoint_step(directory: str) -> Optional[int]:
