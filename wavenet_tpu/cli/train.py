@@ -90,6 +90,10 @@ def get_arguments(argv=None):
                              "trainable refinement over the upsampled "
                              "stream (try 2*lc_hop+1). 0 disables.")
     parser.add_argument("--max_checkpoints", type=int, default=MAX_TO_KEEP)
+    parser.add_argument("--num_threads", type=int, default=1,
+                        help="Reader worker threads (decode/trim/window "
+                             "in parallel; each gets an independent "
+                             "with-replacement file stream).")
     parser.add_argument("--model_parallelism", type=int, default=1,
                         help="Chips per model replica (TPU-native extension; "
                              "remaining chips go data-parallel).")
@@ -225,6 +229,7 @@ def main(argv=None):
         lc_hop=args.lc_hop,
         lc_upsample=args.lc_upsample,
         lc_device_upsample=lc_enabled and not args.lc_host_upsample,
+        num_threads=args.num_threads,
     )
 
     config = WaveNetConfig.from_json(
