@@ -130,20 +130,31 @@ def shard_train_state(state, config: WaveNetConfig, mesh: Mesh):
     return TrainState(step=step, params=params, opt_state=opt_state)
 
 
-def shard_batch(audio: np.ndarray, mesh: Mesh, gc_ids=None, lc=None):
+def shard_batch(audio: np.ndarray, mesh: Mesh, gc_ids=None, lc=None,
+                stacked: bool = False):
     """Shard a host batch over the data axis.
 
     Returns (audio, gc_ids, lc) — unused streams come back as None.
+
+    ``stacked``: inputs carry a leading steps-per-dispatch axis
+    (audio ``[K, B, T]``, gc ``[K, B]``, LC leaves ``[K, ...]``) for
+    the multi-step ``lax.scan`` train program; the batch axis to shard
+    is then axis 1, and the K axis stays replicated (each scan substep
+    slices its own batch).
     """
-    audio_s = jax.device_put(audio, NamedSharding(mesh, batch_spec()))
+    lead = (None,) if stacked else ()
+    audio_spec = P(*lead, DATA_AXIS, *((None,) * (audio.ndim - len(lead) - 1)))
+    audio_s = jax.device_put(audio, NamedSharding(mesh, audio_spec))
     gc_s = None
     if gc_ids is not None:
-        gc_s = jax.device_put(gc_ids, NamedSharding(mesh, P(DATA_AXIS)))
+        gc_s = jax.device_put(gc_ids,
+                              NamedSharding(mesh, P(*lead, DATA_AXIS)))
     lc_s = None
     if lc is not None:
         # Works for both the upsampled stream [B, T, C] and the
         # LCFrameChunk NamedTuple (every leaf is batch-major).
         lc_s = jax.tree.map(
             lambda x: jax.device_put(x, NamedSharding(
-                mesh, P(*((DATA_AXIS,) + (None,) * (x.ndim - 1))))), lc)
+                mesh, P(*lead, DATA_AXIS,
+                        *((None,) * (x.ndim - len(lead) - 1))))), lc)
     return audio_s, gc_s, lc_s

@@ -95,39 +95,141 @@ def make_train_step(config: WaveNetConfig,
     return train_step
 
 
+def make_train_multistep(config: WaveNetConfig,
+                         optimizer: optax.GradientTransformation,
+                         l2_regularization_strength: Optional[float] = None,
+                         lc_hop: Optional[int] = None,
+                         lc_upsample: str = "repeat",
+                         steps_per_dispatch: int = 1):
+    """K train steps in ONE compiled program via ``lax.scan``.
+
+    Through a tunneled chip every dispatch pays a host round-trip
+    (dispatch RPC + input staging); the round-3 soak spent ~3x the
+    device compute on that per-step overhead. Scanning K steps inside
+    one jit amortizes the round-trip K ways — the reference has no
+    analogue (TF1 ``sess.run`` was always one step), this is the
+    XLA-native answer to its threaded-queue feeding problem
+    (audio_reader.py ≈:130-172).
+
+    Inputs carry a leading K axis: audio ``[K, B, T]``, gc ``[K, B]``,
+    LC leaves ``[K, ...]``. Returns ``(state, metrics)`` with every
+    metric stacked ``[K]`` (per-substep losses, so the CLI still
+    prints/logs one line per training step and the NaN guard can
+    validate each substep before a save).
+    """
+    from wavenet_tpu.lc import LCFrameChunk, upsample_chunk_jax
+
+    def one_step(state, audio, gc_ids, lc):
+        if isinstance(lc, LCFrameChunk):
+            if lc_hop is None:
+                raise ValueError("LCFrameChunk input needs lc_hop at "
+                                 "make_train_multistep time")
+            lc = upsample_chunk_jax(lc, lc_hop, lc_upsample,
+                                    audio.shape[1])
+        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, config, audio, gc_ids,
+            l2_regularization_strength, lc)
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": total, **aux,
+                   "grad_norm": optax.global_norm(grads)}
+        return TrainState(step=state.step + 1, params=new_params,
+                          opt_state=new_opt_state), metrics
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_multistep(state: TrainState, audio: jnp.ndarray,
+                        gc_ids: Optional[jnp.ndarray] = None,
+                        lc: Optional[Any] = None
+                        ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        def body(st, xs):
+            a, g, l = xs
+            return one_step(st, a, g, l)
+        return jax.lax.scan(body, state, (audio, gc_ids, lc))
+
+    return train_multistep
+
+
 # ---------------------------------------------------------------------------
 # Checkpointing (orbax) — reference train.py save()/load() ≈:150-170
 # ---------------------------------------------------------------------------
 
+_async_ckptr = None
+
+
+def _get_async_checkpointer():
+    global _async_ckptr
+    if _async_ckptr is None:
+        import orbax.checkpoint as ocp
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _async_ckptr
+
+
+def _prune_checkpoints(root: str, max_to_keep: Optional[int]) -> None:
+    """Keep only the newest ``max_to_keep`` FINALIZED ckpt-* dirs.
+
+    Orbax writes into ``*.orbax-checkpoint-tmp-*`` and renames on
+    finalize, so an in-flight async save never matches the ckpt-N
+    pattern and can't be pruned (nor picked up by
+    ``latest_checkpoint_step``) — a kill mid-save leaves the previous
+    newest checkpoint intact and loadable.
+    """
+    if max_to_keep is None or max_to_keep <= 0:
+        return
+    import shutil
+    steps = sorted(
+        int(m.group(1)) for d in os.listdir(root)
+        if (m := re.fullmatch(r"ckpt-(\d+)", d))
+        and os.path.isdir(os.path.join(root, d)))
+    for old in steps[:-max_to_keep]:
+        shutil.rmtree(os.path.join(root, f"ckpt-{old}"),
+                      ignore_errors=True)
+
+
 def save_checkpoint(directory: str, state: TrainState,
-                    max_to_keep: Optional[int] = None) -> None:
+                    max_to_keep: Optional[int] = None,
+                    use_async: bool = False) -> None:
     """Write logdir/ckpt-<step>/ (reference wrote model.ckpt-STEP).
 
     ``max_to_keep``: prune the oldest ckpt-* dirs down to this many
     AFTER a successful save — the reference's tf.train.Saver
     max_to_keep semantics (train.py ≈:270), which the --max_checkpoints
     flag feeds.
+
+    ``use_async``: snapshot the state to host synchronously (the state
+    buffers are donated to the next dispatch, so they must be copied
+    out before training continues), then serialize/write in orbax's
+    background thread. The train loop only ever blocks on the PREVIOUS
+    save finishing — call :func:`wait_for_checkpoints` before exiting.
+    NaN-safety ordering is unchanged: the CLI validates the loss
+    synchronously BEFORE calling this, so a poisoned state is never
+    handed to either path.
     """
     import orbax.checkpoint as ocp
 
     step = int(jax.device_get(state.step))
     root = os.path.abspath(directory)
     path = os.path.join(root, f"ckpt-{step}")
-    with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, {"step": step,
-                          "params": jax.device_get(state.params),
-                          "opt_state": jax.device_get(state.opt_state)},
-                   force=True)
-    if max_to_keep is not None and max_to_keep > 0:
-        import re
-        import shutil
-        steps = sorted(
-            int(m.group(1)) for d in os.listdir(root)
-            if (m := re.fullmatch(r"ckpt-(\d+)", d))
-            and os.path.isdir(os.path.join(root, d)))
-        for old in steps[:-max_to_keep]:
-            shutil.rmtree(os.path.join(root, f"ckpt-{old}"),
-                          ignore_errors=True)
+    payload = {"step": step,
+               "params": jax.device_get(state.params),
+               "opt_state": jax.device_get(state.opt_state)}
+    if use_async:
+        ckptr = _get_async_checkpointer()
+        # One save in flight at a time; by the time the previous one
+        # finished it is finalized, so pruning below never sees a
+        # partial dir.
+        ckptr.wait_until_finished()
+        ckptr.save(path, payload, force=True)
+    else:
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(path, payload, force=True)
+    _prune_checkpoints(root, max_to_keep)
+
+
+def wait_for_checkpoints() -> None:
+    """Block until any in-flight async checkpoint save is finalized."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
 
 
 def latest_checkpoint_step(directory: str) -> Optional[int]:
