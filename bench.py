@@ -391,8 +391,14 @@ def main():
                 weight_dtype=jnp.bfloat16, reps=3, with_reps=True)
     ab128 = _try(bench_generation_pallas, 128, prefill=True,
                  weight_dtype=jnp.bfloat16, reps=3, with_reps=True)
+    # b256 probe past the old 128-lane cap (VERDICT r3 item 3): the
+    # streamed decode now packs two 128-lane tiles per forced/codes
+    # record row (kernels/sampler.py _io_chunk_for).
+    ab256 = _try(bench_generation_pallas, 256, prefill=True,
+                 weight_dtype=jnp.bfloat16, reps=3, with_reps=True)
     gen_b64 = ab64[0] if ab64 else None
     gen_b128 = ab128[0] if ab128 else None
+    gen_b256 = ab256[0] if ab256 else None
     gen_b64_f32 = _try(bench_generation_pallas, 64, prefill=True)
     gen_b64_scan = _try(bench_generation_scan, 64, n_samples=4000)
     train_bf16 = _try(bench_training, batch_size=8,
@@ -414,6 +420,7 @@ def main():
 
     gen_b64_hbm = hbm_gb_s(gen_b64, 64)
     gen_b128_hbm = hbm_gb_s(gen_b128, 128)
+    gen_b256_hbm = hbm_gb_s(gen_b256, 256)
     # Headline falls back to the sequential b1 kernel so the driver still
     # gets a b1 number if the prefill path alone regresses.
     headline = next((x for x in (gen_b1, gen_b1_seq) if x), None)
@@ -437,6 +444,9 @@ def main():
                                       if ab64 else None),
             "gen_b128_rates_per_rep": ([_round(r) for r in ab128[1]]
                                        if ab128 else None),
+            "gen_samples_per_s_b256_prefill_bf16w": _round(gen_b256),
+            "gen_b256_rates_per_rep": ([_round(r) for r in ab256[1]]
+                                       if ab256 else None),
             "gen_samples_per_s_b64_scan": _round(gen_b64_scan),
             "train_audio_sec_per_s_bf16_b8": train_bf16_rate,
             "train_rates_per_rep_bf16_b8": train_bf16_reps,
@@ -450,6 +460,7 @@ def main():
             # docs/performance.md round-4 analysis).
             "gen_b64_hbm_gb_s": _round(gen_b64_hbm, 1),
             "gen_b128_hbm_gb_s": _round(gen_b128_hbm, 1),
+            "gen_b256_hbm_gb_s": _round(gen_b256_hbm, 1),
             "hbm_peak_gb_s": _round(hbm_peak / 1e9 if hbm_peak else None,
                                     1),
             "gen_b128_hbm_frac_of_peak": _round(

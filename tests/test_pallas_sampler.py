@@ -535,3 +535,50 @@ def test_lc_scan_vs_pallas_free_run_argmax(rng):
     scan = generate(params, cfg, n, jax.random.PRNGKey(0), batch_size=B,
                     seed_codes=seed_codes, temperature=1e-6, lc=lc)
     np.testing.assert_array_equal(np.asarray(pal), np.asarray(scan))
+
+
+def test_stream_io_multitile_batch_matches_vmem(rng, monkeypatch):
+    """b > 128 packs the forced/codes streams into multi-tile lane
+    records ([T_pad, 256] at b130-256); teacher-forced logits must
+    still match the in-VMEM kernel lane for lane (round-4: the b256
+    probe past the old b<=128 streamed-decode cap)."""
+    import wavenet_tpu.kernels.sampler as sampler_mod
+    monkeypatch.setattr(sampler_mod, "_IO_CHUNK", 16)
+
+    cfg = small_config()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    B, T = 130, cfg.receptive_field + 9   # 2 lane tiles, ragged lanes
+    assert sampler_mod._io_chunk_for(B) == 8   # 16 * 128 // 256
+    codes = jnp.asarray(rng.randint(0, cfg.quantization_channels, (B, T)))
+
+    _, ref_logits = generate_pallas(
+        params, cfg, n_samples=1, seed=0, batch_size=B,
+        seed_codes=codes, collect_logits=True, interpret=True)
+    out_s, logits_s = generate_pallas(
+        params, cfg, n_samples=1, seed=0, batch_size=B,
+        seed_codes=codes, collect_logits=True, ring_in_hbm=True,
+        stream_io=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(logits_s), np.asarray(ref_logits),
+                               rtol=1e-4, atol=1e-5)
+
+    ref_out = generate_pallas(
+        params, cfg, n_samples=1, seed=0, batch_size=B, seed_codes=codes,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(out_s)[:, :-1],
+                                  np.asarray(ref_out)[:, :-1])
+
+
+def test_multitile_batch_vmem_estimate_and_attempts():
+    """The streamed path's VMEM estimate stays sane past b128 and the
+    selector now offers the prefill+streamed attempt up to b512."""
+    from wavenet_tpu.kernels.sampler import (_io_chunk_for,
+                                             stream_hbm_sampler_vmem_bytes)
+
+    cfg = small_config()
+    b128 = stream_hbm_sampler_vmem_bytes(cfg, 128)
+    b256 = stream_hbm_sampler_vmem_bytes(cfg, 256)
+    assert b128 < b256 < 4 * b128          # grows, but sub-linearly in tiles
+    # IO chunk halves per extra lane tile: byte budget is constant.
+    assert _io_chunk_for(1) == _io_chunk_for(128) == 1024
+    assert _io_chunk_for(129) == _io_chunk_for(256) == 512
+    assert _io_chunk_for(512) == 256

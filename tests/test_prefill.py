@@ -181,16 +181,18 @@ def test_sampler_attempts_prefer_prefill(monkeypatch):
 
 
 def test_prefill_batch_cap_is_fallback_friendly(monkeypatch):
-    """b > 128 cannot ride the 128-lane streamed decode: the prefill
-    path must raise NotImplementedError (which the ordered fallback
-    forgives) and sampler_attempts must not list it."""
+    """b > 512 cannot ride the multi-tile streamed decode (the per-layer
+    VMEM row slots alone blow the budget): the prefill path must raise
+    NotImplementedError (which the ordered fallback forgives) and
+    sampler_attempts must not list it. b256 now rides the two-tile
+    records (round 4) and MUST be offered."""
     from wavenet_tpu import sampler_select
     from wavenet_tpu.models.wavenet import init_params
 
     cfg = small_config()
     params = init_params(jax.random.PRNGKey(0), cfg)
     with pytest.raises(NotImplementedError):
-        generate_pallas(params, cfg, n_samples=4, seed=0, batch_size=256,
+        generate_pallas(params, cfg, n_samples=4, seed=0, batch_size=1024,
                         prefill=True, interpret=True)
     assert sampler_select.is_compile_failure(NotImplementedError("x"))
 
@@ -198,8 +200,10 @@ def test_prefill_batch_cap_is_fallback_friendly(monkeypatch):
         platform = "tpu"
 
     monkeypatch.setattr(sampler_select.jax, "devices", lambda: [FakeDev()])
-    names = [n for n, _ in sampler_select.sampler_attempts(cfg, 256, 1000)]
+    names = [n for n, _ in sampler_select.sampler_attempts(cfg, 1024, 1000)]
     assert not any("prefill" in n for n in names)
+    names256 = [n for n, _ in sampler_select.sampler_attempts(cfg, 256, 1000)]
+    assert any("prefill" in n for n in names256)
 
 
 def test_extend_state_rejects_wide_filters(rng):

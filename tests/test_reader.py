@@ -216,22 +216,42 @@ def test_reader_multithread_lockstep_integrity(mt_corpus):
 
 def test_reader_multithread_deterministic_per_thread_streams(mt_corpus):
     """Seed contract for N>1: thread i draws from an independent
-    with-replacement stream seeded seed+i. The MULTISET of produced
-    chunks is reproducible run-to-run (only queue interleaving is
-    scheduler-dependent); N>1 therefore changes batch composition vs
-    N=1 but not the data distribution."""
-    def collect(n_items):
+    with-replacement stream seeded seed+i (reader.py _thread_main).
+    Queue interleaving AND each thread's contribution count in any
+    finite prefix are scheduler-dependent, so the consumed items are
+    not run-to-run reproducible as a multiset; the deterministic
+    contract is that they form a MERGE OF PREFIXES of the two per-
+    thread streams — which a single-thread reader reproduces exactly
+    (seed+0 / seed+1). N>1 therefore changes batch composition vs N=1
+    but not the data distribution."""
+    n_items = 32
+
+    def stream(seed, n):
         reader = AudioReader(mt_corpus, sample_rate=4000, gc_enabled=True,
                              receptive_field=16, sample_size=200,
-                             num_threads=2, seed=9)
+                             num_threads=1, seed=seed)
         with reader:
             out = []
-            for _ in range(n_items):
+            while len(out) < n:
                 a = reader.dequeue(4)
                 out.extend(round(float(x), 6) for x in a.sum(axis=1))
-            return sorted(out)
+            return out[:n]
 
-    assert collect(8) == collect(8)
+    s0, s1 = stream(9, n_items), stream(10, n_items)
+
+    reader = AudioReader(mt_corpus, sample_rate=4000, gc_enabled=True,
+                         receptive_field=16, sample_size=200,
+                         num_threads=2, seed=9)
+    with reader:
+        got = []
+        for _ in range(n_items // 4):
+            a = reader.dequeue(4)
+            got.extend(round(float(x), 6) for x in a.sum(axis=1))
+
+    matches = [a0 for a0 in range(n_items + 1)
+               if sorted(got) == sorted(s0[:a0] + s1[:n_items - a0])]
+    assert matches, ("consumed items are not a prefix-merge of the "
+                     "seed+0 / seed+1 single-thread streams")
 
 
 def test_reader_multithread_clean_shutdown(mt_corpus):

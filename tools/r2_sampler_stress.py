@@ -280,6 +280,26 @@ def main():
           bool(np.array_equal(g1, g2)),
           f"diff_count={int(np.sum(g1 != g2))}")
 
+    # 8) multi-tile batch (round 4): b>128 packs the forced/codes HBM
+    # streams into multiple 128-lane tiles per record row
+    # (kernels/sampler.py _io_chunk_for). Cross-impl logits at a ragged
+    # two-tile batch, then the b256 prefill capability target: single
+    # pass + same-seed determinism.
+    cross_impl_check("multi-tile stream-io paper b144 T2048", paper, 144,
+                     2048, 64, rng, ring_in_hbm=True, stream_io=True)
+    t0 = time.perf_counter()
+    o1 = np.asarray(generate_pallas(params, paper, n_samples=16000,
+                                    seed=13, batch_size=256, prefill=True))
+    dt = time.perf_counter() - t0
+    ok = o1.shape == (256, 16000) and o1.min() >= 0 and o1.max() < 256
+    check("prefill b256 single pass (two-tile records)", ok,
+          f"{256 * 16000 / dt / 1e6:.2f}M samples/s")
+    o2 = np.asarray(generate_pallas(params, paper, n_samples=16000,
+                                    seed=13, batch_size=256, prefill=True))
+    check("prefill b256 sampled determinism",
+          bool(np.array_equal(o1, o2)),
+          f"diff_count={int(np.sum(o1 != o2))}")
+
     print("\n" + ("ALL CHECKS PASSED" if not FAILURES
                   else f"FAILED: {FAILURES}"), flush=True)
     sys.exit(1 if FAILURES else 0)

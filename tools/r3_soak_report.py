@@ -98,7 +98,9 @@ def fft_evidence(ckpt, params_json, heldout_dir, out_dir, n_speakers,
     os.makedirs(out_dir, exist_ok=True)
     n = int(seconds * sr)
     report = []
-    for spk in sorted(by_spk)[:4]:
+    # Round 4: all speakers (the r3 plan sampled 4; the committed
+    # artifact promises one generated wav per speaker).
+    for spk in sorted(by_spk):
         src = sorted(by_spk[spk])[0]
         audio, _ = read_wav(src, sr)
         feats = load_lc_sidecar(src)

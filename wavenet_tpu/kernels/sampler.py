@@ -620,8 +620,9 @@ def stream_hbm_sampler_vmem_bytes(config: WaveNetConfig,
                       + D * (_lanes(R) + _lanes(S)) + _lanes(R))
                + _lanes(S)  # layer-summed skip bias
                + S * _lanes(S) + _lanes(S) + S * _lanes(Q) + _lanes(Q))
-    slots = 2 * L * B * 128 + 64 * B * 128
-    io = 2 * 2 * _IO_CHUNK * 128
+    zc = min(64, sum(c.dilations), max(8, (1 << 21) // (max(B, 1) * 128 * 4)))
+    slots = 2 * L * B * 128 + zc * B * 128
+    io = 2 * 2 * _io_chunk_for(B) * _lanes(B)
     if c.lc_enabled:
         # lc projection weights + double-buffered feature chunks (slot
         # bytes capped at ~2 MB by the run wrapper's LCC choice).
@@ -696,13 +697,15 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
         raise ValueError(f"lc length {lc.shape[1]} != n_samples "
                          f"{n_samples}")
     if prefill:
-        if B > 128:
-            # The streamed decode packs the batch into the 128-lane
-            # forced/codes records. NotImplementedError so the ordered
-            # fallback (sampler_select.is_compile_failure) moves on to
-            # the chunked/scan samplers instead of aborting.
+        if B > 512:
+            # The streamed decode packs the batch into the lanes of the
+            # forced/codes records (multi-tile rows past 128); beyond
+            # 512 lanes the per-layer VMEM row slots alone blow the
+            # budget. NotImplementedError so the ordered fallback
+            # (sampler_select.is_compile_failure) moves on to the
+            # chunked/scan samplers instead of aborting.
             raise NotImplementedError(
-                "prefill + streamed decode supports batch_size <= 128; "
+                "prefill + streamed decode supports batch_size <= 512; "
                 f"got {B}")
         if batch_chunk:
             raise ValueError("batch_chunk does not apply to the prefill "
@@ -792,9 +795,9 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
                                                    n_samples)
                     return codes, jnp.moveaxis(logits, 0, 1)
                 return codes
-        C = _IO_CHUNK
+        C = _io_chunk_for(B)
         T_pad = -(-n_samples // C) * C
-        forced_lanes = jnp.zeros((T_pad, 128), fdtype)
+        forced_lanes = jnp.zeros((T_pad, _lanes(B)), fdtype)
         forced_lanes = forced_lanes.at[0, 0:B].set(carry.last.astype(fdtype))
         args_p = (packed, forced_lanes,
                   jnp.asarray([seed, carry.t_abs], jnp.int32),
@@ -826,11 +829,12 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
         forced = forced[:n_total]
 
     if ring_in_hbm and stream_io:
-        # Streamed-IO path: forced/codes live in HBM as [T_pad, 128]
-        # lane-padded streams (b >= 96 and arbitrarily long runs).
-        C = _IO_CHUNK
+        # Streamed-IO path: forced/codes live in HBM as [T_pad, lanes(B)]
+        # lane-padded streams (b >= 96 and arbitrarily long runs; b > 128
+        # packs multiple 128-lane tiles per record row).
+        C = _io_chunk_for(B)
         T_pad = -(-n_total // C) * C
-        forced_lanes = jnp.zeros((T_pad, 128), forced.dtype)
+        forced_lanes = jnp.zeros((T_pad, _lanes(B)), forced.dtype)
         forced_lanes = forced_lanes.at[:n_total, 0:B].set(forced)
         ring0, causal0 = _stream_zero_state(c, B)
         args_s = (packed, forced_lanes, jnp.asarray([seed, 0], jnp.int32),
@@ -1124,7 +1128,18 @@ def _run_sampler_kernel_hbm(packed: PackedSampler, forced: jnp.ndarray,
 # HBM-ring + streamed IO: forced/codes streams in HBM (b >= 96, any length)
 # ---------------------------------------------------------------------------
 
-_IO_CHUNK = 1024     # rows per forced/codes DMA chunk
+_IO_CHUNK = 1024     # rows per forced/codes DMA chunk (at <= 128 lanes)
+
+
+def _io_chunk_for(batch_size: int) -> int:
+    """Rows per forced/codes DMA chunk, shrunk for multi-tile batches.
+
+    Batches wider than one 128-lane tile pack into ``_lanes(B)``-lane
+    records (b256 = two tiles per row); halving the chunk rows keeps
+    the double-buffered VMEM IO slots at the same byte budget the
+    b<=128 path was tuned for.
+    """
+    return max(8, (_IO_CHUNK * 128) // _lanes(batch_size))
 
 
 def _sampler_kernel_hbm_stream(
@@ -1135,7 +1150,7 @@ def _sampler_kernel_hbm_stream(
     causal_w_ref, layer_w_ref, layer_add_ref,
     dense_w_ref, dense_add_ref, skip_w_ref, skip_b_ref,
     post1_w_ref, post1_b_ref, post2_w_ref, post2_b_ref,
-    forced_hbm,          # [T_pad, 128] fdtype — ANY (HBM), lanes 0:B used
+    forced_hbm,          # [T_pad, lanes(B)] fdtype — ANY (HBM), lanes 0:B
     ring_in_ref,         # [sum_d, B, 128] — ANY (HBM), ALIASED to ring_ref
     causal_in_ref,       # [B, (kw-1)*C_in] f32 — carried shift register
     # then, when has_lc (parsed from *rest):
@@ -1143,14 +1158,14 @@ def _sampler_kernel_hbm_stream(
     #   lc_hbm           [T_lc_pad, B, 128] f32 — ANY (HBM), lanes 0:C_lc
     #                    used; row t conditions step t's prediction
     # outputs
-    #   codes_hbm        [T_pad, 128] int32 — ANY (HBM)
+    #   codes_hbm        [T_pad, lanes(B)] int32 — ANY (HBM)
     #   logits_ref       [1, n_log, B, Q] VMEM
     #   ring_ref         [sum_d, B, 128] — ANY (HBM)
     #   causal_out_ref   [B, (kw-1)*C_in] f32
     # scratch
     #   causal_buf_ref, rbuf_ref, wbuf_ref, zbuf_ref,
-    #   fbuf_ref         [2, io_chunk, 128] fdtype — forced chunks
-    #   cbuf_ref         [2, io_chunk, 128] int32 — codes chunks
+    #   fbuf_ref         [2, io_chunk, lanes(B)] fdtype — forced chunks
+    #   cbuf_ref         [2, io_chunk, lanes(B)] int32 — codes chunks
     #   (when has_lc) lcbuf_ref [2, lc_chunk, B, 128] f32 — lc chunks
     #   rsem, wsem, zsem, fsem, csem (+ lcsem when has_lc)
     *rest,
@@ -1495,9 +1510,11 @@ def _run_sampler_kernel_hbm_stream(packed: PackedSampler,
     L = c.num_layers
     sum_d = sum(c.dilations)
     kw_in = (c.initial_filter_width if c.scalar_input else c.filter_width)
-    C = _IO_CHUNK
+    BP = _lanes(B)       # forced/codes record width: 1 tile per 128 lanes
+    C = _io_chunk_for(B)
     T_pad = forced_lanes.shape[0]
     assert T_pad % C == 0 and T_pad >= n_total
+    assert forced_lanes.shape[1] == BP
     fdtype = forced_lanes.dtype
     has_lc = lc_stream is not None
     # b=1 VPU-chain path: enabled by the presence of the transposed
@@ -1517,7 +1534,9 @@ def _run_sampler_kernel_hbm_stream(packed: PackedSampler,
     # W steps (bounded VMEM for arbitrarily long runs); False = 1.
     n_log = (n_total if collect_logits is True
              else int(collect_logits) if collect_logits else 1)
-    zc = min(64, sum_d)
+    # Ring-zeroing staging rows: keep the [zc, B, 128] slot near the
+    # 2 MB it was tuned at for b<=64 (b256 at zc=64 would cost 8.4 MB).
+    zc = min(64, sum_d, max(8, (1 << 21) // (max(B, 1) * 128 * 4)))
 
     in_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] * 11
                 + [pl.BlockSpec(memory_space=pl.ANY),       # forced
@@ -1538,8 +1557,8 @@ def _run_sampler_kernel_hbm_stream(packed: PackedSampler,
         pltpu.VMEM((L, B, 128), jnp.float32),      # rbuf
         pltpu.VMEM((L, B, 128), jnp.float32),      # wbuf
         pltpu.VMEM((zc, B, 128), jnp.float32),     # zbuf
-        pltpu.VMEM((2, C, 128), fdtype),           # forced chunks
-        pltpu.VMEM((2, C, 128), jnp.int32),        # codes chunks
+        pltpu.VMEM((2, C, BP), fdtype),            # forced chunks
+        pltpu.VMEM((2, C, BP), jnp.int32),         # codes chunks
     ]
     sems = [
         pltpu.SemaphoreType.DMA((L,)),
@@ -1582,7 +1601,7 @@ def _run_sampler_kernel_hbm_stream(packed: PackedSampler,
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((T_pad, 128), jnp.int32),
+            jax.ShapeDtypeStruct((T_pad, BP), jnp.int32),
             jax.ShapeDtypeStruct((1, n_log, B, Q), jnp.float32),
             jax.ShapeDtypeStruct((sum_d, B, 128), jnp.float32),
             jax.ShapeDtypeStruct((B, (kw_in - 1) * c.input_channels),
@@ -1830,9 +1849,9 @@ def generate_pallas_resumable(params: Params, config: WaveNetConfig,
         lc_tm = jnp.moveaxis(
             lc_full[:, :n_total].astype(jnp.float32), 1, 0)
 
-    C = _IO_CHUNK
+    C = _io_chunk_for(B)
     T_pad = -(-n_total // C) * C
-    forced_lanes = jnp.zeros((T_pad, 128), forced.dtype)
+    forced_lanes = jnp.zeros((T_pad, _lanes(B)), forced.dtype)
     forced_lanes = forced_lanes.at[:n_total, 0:B].set(forced)
     args = (packed, forced_lanes, jnp.asarray([seed, t0], jnp.int32),
             ring_in, causal_in, c, n_total, n_forced, B, temperature,

@@ -89,16 +89,17 @@ def sampler_attempts(config, batch_size: int, n_total: int,
              if precision == "bfloat16" else {})
     wtag = " bf16w" if bf16w else ""
     attempts = []
-    if (batch_size <= 128
+    if (batch_size <= 512
             and stream_hbm_sampler_vmem_bytes(config, batch_size)
             < GENEROUS_VMEM):
         # Preferred: parallel prefill (one conv forward replaces the
         # receptive-field priming steps) + streamed-IO decode. Measured
         # (tools/r3_gen_latency.py, v5-lite): >= the sequential VMEM
         # kernel at b1-b8 and 1.3-1.6x it at b64-b128. The streamed
-        # decode packs the batch into 128-lane records, hence the cap;
-        # state_dtype is a no-op there (f32 HBM ring), so only the
-        # weight dtype is forwarded.
+        # decode packs the batch into multi-tile lane records (b256 =
+        # two 128-lane tiles per row); past 512 the VMEM row slots blow
+        # the budget, hence the cap. state_dtype is a no-op there (f32
+        # HBM ring), so only the weight dtype is forwarded.
         kw = ({"weight_dtype": jnp.bfloat16} if bf16w else {})
         attempts.append((f"Pallas (prefill + streamed decode{wtag})",
                          dict(kw, prefill=True)))

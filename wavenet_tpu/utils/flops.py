@@ -127,8 +127,9 @@ def stream_decode_hbm_bytes_per_step(config: WaveNetConfig,
     c = config
     B = batch_size
     lanes = 128  # ring rows are lane-padded to the 128 tile
+    rec = -(-B // 128) * 128  # forced/codes record width (multi-tile b>128)
     ring = 2 * c.num_layers * B * lanes * 4
-    io = 2 * 128 * 4
+    io = 2 * rec * 4
     lc = B * lanes * 4 if c.lc_enabled else 0
     return ring + io + lc
 
