@@ -179,7 +179,14 @@ def gc_swap(ckpt, params_json, heldout_dir, out_path, n_speakers,
                                      lc_channels=80)
     params = restore_params_only(
         ckpt, init_params(jax.random.PRNGKey(0), config))
-    files = sorted(find_files(heldout_dir))[:max_files]
+    # Round-robin one file per speaker before taking seconds etc., so
+    # max_files=8 tests EVERY speaker once rather than the first two
+    # speakers four times (the sorted()[:8] slice did the latter).
+    by_spk = {}
+    for p in sorted(find_files(heldout_dir)):
+        by_spk.setdefault(parse_speaker_id(os.path.basename(p)), []).append(p)
+    rounds = zip(*(by_spk[k] for k in sorted(by_spk)))
+    files = [p for rnd in rounds for p in rnd][:max_files]
     rows, wins = [], 0
     for p in files:
         spk = parse_speaker_id(os.path.basename(p))
