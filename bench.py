@@ -396,9 +396,15 @@ def main():
     # record row (kernels/sampler.py _io_chunk_for).
     ab256 = _try(bench_generation_pallas, 256, prefill=True,
                  weight_dtype=jnp.bfloat16, reps=3, with_reps=True)
+    # b512 = the multi-tile cap (4-tile records): measured +51% over
+    # b256 same-process (tools/r4 b512 probe, 2026-08-20) — the
+    # big-batch headline.
+    ab512 = _try(bench_generation_pallas, 512, prefill=True,
+                 weight_dtype=jnp.bfloat16, reps=3, with_reps=True)
     gen_b64 = ab64[0] if ab64 else None
     gen_b128 = ab128[0] if ab128 else None
     gen_b256 = ab256[0] if ab256 else None
+    gen_b512 = ab512[0] if ab512 else None
     gen_b64_f32 = _try(bench_generation_pallas, 64, prefill=True)
     gen_b64_scan = _try(bench_generation_scan, 64, n_samples=4000)
     train_bf16 = _try(bench_training, batch_size=8,
@@ -421,6 +427,7 @@ def main():
     gen_b64_hbm = hbm_gb_s(gen_b64, 64)
     gen_b128_hbm = hbm_gb_s(gen_b128, 128)
     gen_b256_hbm = hbm_gb_s(gen_b256, 256)
+    gen_b512_hbm = hbm_gb_s(gen_b512, 512)
     # Headline falls back to the sequential b1 kernel so the driver still
     # gets a b1 number if the prefill path alone regresses.
     headline = next((x for x in (gen_b1, gen_b1_seq) if x), None)
@@ -447,6 +454,9 @@ def main():
             "gen_samples_per_s_b256_prefill_bf16w": _round(gen_b256),
             "gen_b256_rates_per_rep": ([_round(r) for r in ab256[1]]
                                        if ab256 else None),
+            "gen_samples_per_s_b512_prefill_bf16w": _round(gen_b512),
+            "gen_b512_rates_per_rep": ([_round(r) for r in ab512[1]]
+                                       if ab512 else None),
             "gen_samples_per_s_b64_scan": _round(gen_b64_scan),
             "train_audio_sec_per_s_bf16_b8": train_bf16_rate,
             "train_rates_per_rep_bf16_b8": train_bf16_reps,
@@ -461,6 +471,7 @@ def main():
             "gen_b64_hbm_gb_s": _round(gen_b64_hbm, 1),
             "gen_b128_hbm_gb_s": _round(gen_b128_hbm, 1),
             "gen_b256_hbm_gb_s": _round(gen_b256_hbm, 1),
+            "gen_b512_hbm_gb_s": _round(gen_b512_hbm, 1),
             "hbm_peak_gb_s": _round(hbm_peak / 1e9 if hbm_peak else None,
                                     1),
             "gen_b128_hbm_frac_of_peak": _round(

@@ -299,6 +299,19 @@ def main():
     check("prefill b256 sampled determinism",
           bool(np.array_equal(o1, o2)),
           f"diff_count={int(np.sum(o1 != o2))}")
+    # b512 = the cap (4-tile records, the big-batch headline batch).
+    t0 = time.perf_counter()
+    q1 = np.asarray(generate_pallas(params, paper, n_samples=16000,
+                                    seed=17, batch_size=512, prefill=True))
+    dt = time.perf_counter() - t0
+    ok = q1.shape == (512, 16000) and q1.min() >= 0 and q1.max() < 256
+    check("prefill b512 single pass (four-tile records)", ok,
+          f"{512 * 16000 / dt / 1e6:.2f}M samples/s")
+    q2 = np.asarray(generate_pallas(params, paper, n_samples=16000,
+                                    seed=17, batch_size=512, prefill=True))
+    check("prefill b512 sampled determinism",
+          bool(np.array_equal(q1, q2)),
+          f"diff_count={int(np.sum(q1 != q2))}")
 
     print("\n" + ("ALL CHECKS PASSED" if not FAILURES
                   else f"FAILED: {FAILURES}"), flush=True)
