@@ -181,11 +181,12 @@ def test_sampler_attempts_prefer_prefill(monkeypatch):
 
 
 def test_prefill_batch_cap_is_fallback_friendly(monkeypatch):
-    """b > 512 cannot ride the multi-tile streamed decode (the per-layer
-    VMEM row slots alone blow the budget): the prefill path must raise
-    NotImplementedError (which the ordered fallback forgives) and
-    sampler_attempts must not list it. b256 now rides the two-tile
-    records (round 4) and MUST be offered."""
+    """b > 512 cannot ride the multi-tile streamed decode in ONE launch
+    (the per-layer VMEM row slots alone blow the budget): without
+    batch_chunk the prefill path must raise NotImplementedError (which
+    the ordered fallback forgives). The selector serves b256 directly
+    (two-tile records) and b1024 via the chunks-of-512 prefill attempt
+    (round 4)."""
     from wavenet_tpu import sampler_select
     from wavenet_tpu.models.wavenet import init_params
 
@@ -201,9 +202,41 @@ def test_prefill_batch_cap_is_fallback_friendly(monkeypatch):
 
     monkeypatch.setattr(sampler_select.jax, "devices", lambda: [FakeDev()])
     names = [n for n, _ in sampler_select.sampler_attempts(cfg, 1024, 1000)]
-    assert not any("prefill" in n for n in names)
+    assert any("chunks of 512" in n and "prefill" in n for n in names)
     names256 = [n for n, _ in sampler_select.sampler_attempts(cfg, 256, 1000)]
     assert any("prefill" in n for n in names256)
+
+
+def test_prefill_batch_chunk_matches_per_chunk_runs(rng):
+    """The chunked prefill path is the row-wise concatenation of
+    independent prefill runs seeded seed+i — bitwise, including a
+    ragged remainder chunk — and teacher-forced logits equal the
+    unchunked call's (logits are seed-independent)."""
+    from wavenet_tpu.models.wavenet import init_params
+
+    cfg = small_config()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    B, bc, T = 12, 8, cfg.receptive_field + 5
+    codes = jnp.asarray(rng.randint(0, cfg.quantization_channels, (B, T)))
+
+    out_c, logits_c = generate_pallas(
+        params, cfg, n_samples=3, seed=7, batch_size=B, seed_codes=codes,
+        collect_logits=True, prefill=True, batch_chunk=bc, interpret=True)
+
+    parts = []
+    for i, lo in enumerate(range(0, B, bc)):
+        hi = min(lo + bc, B)
+        parts.append(np.asarray(generate_pallas(
+            params, cfg, n_samples=3, seed=7 + i, batch_size=hi - lo,
+            seed_codes=codes[lo:hi], prefill=True, interpret=True)))
+    np.testing.assert_array_equal(np.asarray(out_c),
+                                  np.concatenate(parts, axis=0))
+
+    _, logits_u = generate_pallas(
+        params, cfg, n_samples=3, seed=7, batch_size=B, seed_codes=codes,
+        collect_logits=True, prefill=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(logits_c), np.asarray(logits_u),
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_extend_state_rejects_wide_filters(rng):

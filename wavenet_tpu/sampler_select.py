@@ -103,6 +103,15 @@ def sampler_attempts(config, batch_size: int, n_total: int,
         kw = ({"weight_dtype": jnp.bfloat16} if bf16w else {})
         attempts.append((f"Pallas (prefill + streamed decode{wtag})",
                          dict(kw, prefill=True)))
+    elif (batch_size > 512
+          and stream_hbm_sampler_vmem_bytes(config, 512) < GENEROUS_VMEM):
+        # Past the per-launch cap: sequential <=512-lane chunked runs
+        # (chunk i seeds seed+i). The b512 chunk sustains ~4.6M
+        # samples/s vs ~0.55M for the scan fallback this replaces.
+        kw = ({"weight_dtype": jnp.bfloat16} if bf16w else {})
+        attempts.append(
+            (f"Pallas (prefill + streamed decode, chunks of 512{wtag})",
+             dict(kw, prefill=True, batch_chunk=512)))
     if sampler_vmem_bytes(config, batch_size, n_total) < GENEROUS_VMEM:
         attempts.append((f"Pallas (f32 state{wtag})", dict(bf16w)))
     if sampler_vmem_bytes(config, batch_size, n_total,
