@@ -582,3 +582,31 @@ def test_multitile_batch_vmem_estimate_and_attempts():
     assert _io_chunk_for(1) == _io_chunk_for(128) == 1024
     assert _io_chunk_for(129) == _io_chunk_for(256) == 512
     assert _io_chunk_for(512) == 256
+
+
+def test_lc_multitile_prefill_matches_single_tile_lanes(rng, monkeypatch):
+    """LC conditioning rides the multi-tile (b>128) prefill+streamed
+    path: the lc_hbm records are [T, B, 128] (B-indexed, unaffected by
+    the record-lane packing), so teacher-forced logits at b130 must
+    match the parallel conv forward lane for lane."""
+    import wavenet_tpu.kernels.sampler as sampler_mod
+    monkeypatch.setattr(sampler_mod, "_IO_CHUNK", 16)
+
+    cfg = _lc_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    B, T = 130, cfg.receptive_field + 5
+    codes = jnp.asarray(rng.randint(0, cfg.quantization_channels, (B, T)))
+    stream = jnp.asarray(rng.standard_normal((B, T, 3)).astype(np.float32))
+    lc_prime, lc = _lc_split(stream)
+
+    _, logits = generate_pallas(
+        params, cfg, n_samples=1, seed=0, batch_size=B, seed_codes=codes,
+        lc=lc, lc_prime=lc_prime, collect_logits=True, prefill=True,
+        interpret=True)
+
+    full = forward(params, cfg, one_hot(codes, cfg.quantization_channels),
+                   None, lc=stream)
+    # Prefill = decode-phase logits only (the final step).
+    np.testing.assert_allclose(np.asarray(logits[:, -1, :]),
+                               np.asarray(full[:, -1, :]),
+                               rtol=1e-4, atol=1e-5)

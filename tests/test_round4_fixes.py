@@ -312,3 +312,30 @@ def test_partial_async_tmp_dir_never_corrupts_latest(tmp_path):
     save_checkpoint(str(root), restored, max_to_keep=1, use_async=True)
     wait_for_checkpoints()
     assert latest_checkpoint_step(str(root)) == 7
+
+
+def test_prefetcher_max_items_never_overconsumes():
+    """The worker produces EXACTLY max_items batches: a worker mid-fill
+    at stop() time must not steal reader batches that belong to the
+    inline remainder steps (the prefetch-on/off bitwise parity above
+    was a scheduler race without this bound)."""
+    import threading
+    import time
+    from wavenet_tpu.data.prefetch import DevicePrefetcher
+
+    calls = []
+    lock = threading.Lock()
+
+    def fill():
+        with lock:
+            calls.append(len(calls))
+        return calls[-1]
+
+    pf = DevicePrefetcher(fill, depth=2, max_items=3)
+    got = [pf.get(timeout=5) for _ in range(3)]
+    assert got == [0, 1, 2]
+    # Give a buggy worker every chance to run one more fill().
+    time.sleep(0.3)
+    assert len(calls) == 3
+    pf.stop()
+    assert len(calls) == 3

@@ -338,12 +338,17 @@ def main(argv=None):
         n_samples = int(np.prod(audio.shape[-2:]))  # per train step
         return audio, gc_ids, lc, n_samples
 
-    prefetcher = None
-    if args.prefetch_depth > 0:
-        from wavenet_tpu.data.prefetch import DevicePrefetcher
-        prefetcher = DevicePrefetcher(fill, depth=args.prefetch_depth)
-
     saved_global_step = int(jax.device_get(state.step))
+    prefetcher = None
+    # Exactly this many full k-step dispatches will run; bound the
+    # worker to that count so it never consumes reader batches that
+    # belong to the inline remainder steps (a worker mid-fill at stop()
+    # time would otherwise steal them nondeterministically).
+    n_dispatches = max(0, args.num_steps - saved_global_step) // dispatch_k
+    if args.prefetch_depth > 0 and n_dispatches > 0:
+        from wavenet_tpu.data.prefetch import DevicePrefetcher
+        prefetcher = DevicePrefetcher(fill, depth=args.prefetch_depth,
+                                      max_items=n_dispatches)
     last_saved_step = saved_global_step
     timer = StepTimer()
     step = saved_global_step

@@ -32,12 +32,22 @@ class DevicePrefetcher:
     ``fill_fn() -> Any`` produces one device-resident batch. Exceptions in
     the worker are re-raised from ``get()`` so reader failures surface in
     the train loop, not silently in a daemon thread.
+
+    ``max_items`` bounds how many batches the worker will EVER produce.
+    The train loop passes its exact full-dispatch count so the worker
+    never steals reader batches that belong to the inline remainder
+    steps — without the bound, whether an in-flight fill() had consumed
+    the next reader items when stop() arrived was a scheduler race, and
+    prefetch-on vs prefetch-off runs could train on different data
+    (caught by tests/test_round4_fixes.py's bitwise parity test).
     """
 
-    def __init__(self, fill_fn: Callable[[], Any], depth: int = 2):
+    def __init__(self, fill_fn: Callable[[], Any], depth: int = 2,
+                 max_items: Optional[int] = None):
         if depth < 1:
             raise ValueError(f"prefetch depth must be >= 1, got {depth}")
         self._fill = fill_fn
+        self._max_items = max_items
         self._q: "queue.Queue[Any]" = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
         self._err: Optional[BaseException] = None
@@ -46,12 +56,16 @@ class DevicePrefetcher:
         self._thread.start()
 
     def _run(self) -> None:
+        produced = 0
         while not self._stop.is_set():
+            if self._max_items is not None and produced >= self._max_items:
+                return
             try:
                 item = self._fill()
             except BaseException as e:  # noqa: BLE001 — surfaced via get()
                 self._err = e
                 item = _SENTINEL
+            produced += 1
             # Bounded put that still honors stop() while the queue is full.
             while not self._stop.is_set():
                 try:
