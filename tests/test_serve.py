@@ -211,3 +211,41 @@ def test_speculative_service(tmp_path):
     wave = service.generate(20, seed=4)
     assert wave.shape == (20,)
     assert np.all(np.abs(wave) <= 1.0)
+
+
+def test_generate_batch_codes_and_determinism(server):
+    status, _, body = _post(server + "/generate_batch",
+                            {"samples": 16, "batch": 3, "seed": 5})
+    assert status == 200
+    codes = json.loads(body)["codes"]
+    assert len(codes) == 3 and all(len(c) == 16 for c in codes)
+    status2, _, body2 = _post(server + "/generate_batch",
+                              {"samples": 16, "batch": 3, "seed": 5})
+    assert status2 == 200 and json.loads(body2)["codes"] == codes
+
+
+def test_generate_batch_wav_b64(server):
+    import base64
+    status, _, body = _post(server + "/generate_batch",
+                            {"samples": 16, "batch": 2,
+                             "format": "wav_b64"})
+    assert status == 200
+    wavs = json.loads(body)["wavs_b64"]
+    assert len(wavs) == 2
+    raw = base64.b64decode(wavs[0])
+    assert raw[:4] == b"RIFF" and len(raw) == 44 + 2 * 16
+
+
+def test_generate_batch_bad_requests(server):
+    # gc_ids on a non-GC model
+    status, _, body = _post(server + "/generate_batch",
+                            {"samples": 16, "gc_ids": [1, 2]})
+    assert status == 400
+    assert "global conditioning" in json.loads(body)["error"]
+    # no batch size at all
+    status, _, _ = _post(server + "/generate_batch", {"samples": 16})
+    assert status == 400
+    # batch/gc_ids mismatch is caught service-side
+    status, _, _ = _post(server + "/generate_batch",
+                         {"samples": 16, "batch": 3, "gc_ids": [1]})
+    assert status == 400

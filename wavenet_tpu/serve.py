@@ -19,6 +19,14 @@ API (stdlib-only server, JSON in / WAV or JSON out):
                             "format": "wav" | "codes"}
       -> audio/wav bytes (format=wav, default), or
          {"codes": [...]} JSON (format=codes)
+  POST /generate_batch     {"samples": 16000, "batch": 64 |
+                            "gc_ids": [3, 7, ...], "temperature": 0.9,
+                            "seed": 7, "format": "codes" | "wav_b64"}
+      -> {"codes": [[...], ...]} (default) or {"wavs_b64": [...]} —
+         B streams from ONE batched sampler launch (the multi-tile
+         streamed decode sustains ~300 realtime 16 kHz streams per
+         chip; one PRNG seed covers the launch, lanes decorrelate
+         in-kernel). No lc / speculative on this endpoint.
 
 Local conditioning (lc-trained checkpoints): ``lc`` is a [frames,
 lc_channels] float array. With ``lc_hop`` the frames are upsampled to
@@ -187,6 +195,48 @@ class GenerationService:
             codes = np.asarray(jax.device_get(codes))[0][:n_samples]
         return mu_law_decode_np(codes, self.config.quantization_channels)
 
+    def generate_batch(self, n_samples: int, batch: Optional[int] = None,
+                       gc_ids: Optional[list] = None,
+                       temperature: float = 1.0,
+                       seed: int = 0) -> np.ndarray:
+        """-> float waveforms [B, n_samples] in [-1, 1] from ONE batched
+        sampler launch (the big-batch throughput path: the multi-tile
+        streamed decode sustains ~300 realtime 16 kHz streams per chip;
+        chunks-of-512 hold the rate at any B — docs/performance.md).
+
+        ``batch`` or ``len(gc_ids)`` sets B. One PRNG ``seed`` covers
+        the launch (lanes decorrelate in-kernel; per-request seeds
+        would need per-request launches). Speculative serving and local
+        conditioning are single-stream features and are rejected here.
+        """
+        from wavenet_tpu.audio import mu_law_decode_np
+        from wavenet_tpu.sampler_select import generate_with_fallback
+
+        if self.draft_params is not None:
+            raise ValueError("speculative serving does not support "
+                             "batched generation")
+        if gc_ids is not None:
+            if not self.config.gc_enabled:
+                raise ValueError("this model was not trained with global "
+                                 "conditioning (no gc_channels in config)")
+            if batch is not None and batch != len(gc_ids):
+                raise ValueError(f"batch {batch} != len(gc_ids) "
+                                 f"{len(gc_ids)}")
+            batch = len(gc_ids)
+        if batch is None or batch < 1:
+            raise ValueError("generate_batch needs batch >= 1 or gc_ids")
+        gc = (jnp.asarray(gc_ids, jnp.int32)
+              if gc_ids is not None else None)
+        n_bucket = self.bucket_samples(n_samples)
+        with self._lock:
+            codes, name, _ = generate_with_fallback(
+                self.params, self.config, n_bucket, seed=seed,
+                batch_size=batch, gc_ids=gc, temperature=temperature,
+                sampler=self._sampler_arg)
+            self.sampler_name = name
+            codes = np.asarray(jax.device_get(codes))[:, :n_samples]
+        return mu_law_decode_np(codes, self.config.quantization_channels)
+
 
 def _wav_bytes(waveform: np.ndarray, sample_rate: int) -> bytes:
     from scipy.io import wavfile
@@ -222,6 +272,9 @@ def make_handler(service: GenerationService):
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
+            if self.path == "/generate_batch":
+                self._generate_batch()
+                return
             if self.path != "/generate":
                 self._json(404, {"error": "not found"})
                 return
@@ -266,6 +319,37 @@ def make_handler(service: GenerationService):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+
+        def _generate_batch(self):
+            """POST /generate_batch {"samples": N, "batch": B | "gc_ids":
+            [...], "temperature", "seed", "format": "codes" (default) |
+            "wav_b64"} -> {"codes": [[...], ...]} or
+            {"wavs_b64": ["<base64 wav>", ...]} — B streams from one
+            batched sampler launch."""
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                n = int(req.get("samples", service.sample_rate))
+                if not 1 <= n <= 10 * 60 * service.sample_rate:
+                    raise ValueError(f"samples out of range: {n}")
+                waves = service.generate_batch(
+                    n, batch=req.get("batch"), gc_ids=req.get("gc_ids"),
+                    temperature=float(req.get("temperature", 1.0)),
+                    seed=int(req.get("seed", 0)))
+            except (ValueError, KeyError, TypeError,
+                    json.JSONDecodeError) as e:
+                self._json(400, {"error": str(e)})
+                return
+            if req.get("format", "codes") == "wav_b64":
+                import base64
+                self._json(200, {"wavs_b64": [
+                    base64.b64encode(
+                        _wav_bytes(w, service.sample_rate)).decode()
+                    for w in waves]})
+                return
+            from wavenet_tpu.audio import mu_law_encode_np
+            self._json(200, {"codes": mu_law_encode_np(
+                waves, service.config.quantization_channels).tolist()})
 
     return Handler
 
