@@ -266,34 +266,45 @@ def test_reader_multithread_clean_shutdown(mt_corpus):
     assert reader._threads == []
 
 
-def test_reader_multithread_throughput_scales(mt_corpus, monkeypatch):
-    """With a slow decode (10 ms/file), 4 workers must outproduce 1 by
-    >= 2x — the point of the worker pool (reference used N enqueue
-    threads for the same reason, train.py ~:230)."""
+def test_reader_multithread_decodes_concurrently(mt_corpus, monkeypatch):
+    """N workers must actually overlap their (GIL-releasing) decode work
+    — the point of the worker pool (reference used N enqueue threads
+    for the same reason, train.py ~:230). Asserted by instrumenting the
+    loader for overlapping entries rather than by wall-clock speedup,
+    which was machine-load flaky (observed 1.2x on a loaded box where
+    an idle one gives >3x)."""
+    import threading as _threading
     import time as _time
 
     import wavenet_tpu.data.reader as rmod
 
     real = rmod.load_generic_audio
+    lock = _threading.Lock()
+    state = {"now": 0, "max": 0}
 
-    def slow_loader(*args, **kw):
-        for item in real(*args, **kw):
-            _time.sleep(0.01)
-            yield item
+    def tracking_loader(*args, **kw):
+        with lock:
+            state["now"] += 1
+            state["max"] = max(state["max"], state["now"])
+        _time.sleep(0.05)          # models a slow, GIL-releasing decode
+        try:
+            yield from real(*args, **kw)
+        finally:
+            with lock:
+                state["now"] -= 1
 
-    monkeypatch.setattr(rmod, "load_generic_audio", slow_loader)
+    monkeypatch.setattr(rmod, "load_generic_audio", tracking_loader)
 
-    def rate(num_threads):
+    def max_concurrency(num_threads):
+        state["now"] = state["max"] = 0
         reader = AudioReader(mt_corpus, sample_rate=4000,
                              receptive_field=16, sample_size=200,
                              num_threads=num_threads, seed=0,
                              queue_size=8)
         with reader:
-            reader.dequeue(8)  # warm: threads up, queue primed
-            t0 = _time.perf_counter()
-            for _ in range(12):
+            for _ in range(4):
                 reader.dequeue(8)
-            return 96 / (_time.perf_counter() - t0)
+        return state["max"]
 
-    r1, r4 = rate(1), rate(4)
-    assert r4 > 2.0 * r1, (r1, r4)
+    assert max_concurrency(1) == 1
+    assert max_concurrency(4) >= 2
