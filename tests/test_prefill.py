@@ -209,10 +209,17 @@ def test_prefill_batch_cap_is_fallback_friendly(monkeypatch):
 
 def test_prefill_batch_chunk_matches_per_chunk_runs(rng):
     """The chunked prefill path is the row-wise concatenation of
-    independent prefill runs seeded seed+i — bitwise, including a
-    ragged remainder chunk — and teacher-forced logits equal the
-    unchunked call's (logits are seed-independent)."""
+    independent prefill runs seeded chunk_seed(seed, i) — bitwise,
+    including a ragged remainder chunk — and teacher-forced logits equal
+    the unchunked call's (logits are seed-independent). chunk_seed is a
+    splitmix mix: adjacent request seeds must not share chunk seeds
+    (seed=0 chunk 1 vs seed=1 chunk 0 under stride-1 seeding)."""
+    from wavenet_tpu.kernels.sampler import chunk_seed
     from wavenet_tpu.models.wavenet import init_params
+
+    # No (seed, chunk) collisions across adjacent request seeds.
+    pairs = {chunk_seed(s, i) for s in range(4) for i in range(8)}
+    assert len(pairs) == 4 * 8
 
     cfg = small_config()
     params = init_params(jax.random.PRNGKey(0), cfg)
@@ -227,7 +234,8 @@ def test_prefill_batch_chunk_matches_per_chunk_runs(rng):
     for i, lo in enumerate(range(0, B, bc)):
         hi = min(lo + bc, B)
         parts.append(np.asarray(generate_pallas(
-            params, cfg, n_samples=3, seed=7 + i, batch_size=hi - lo,
+            params, cfg, n_samples=3, seed=chunk_seed(7, i),
+            batch_size=hi - lo,
             seed_codes=codes[lo:hi], prefill=True, interpret=True)))
     np.testing.assert_array_equal(np.asarray(out_c),
                                   np.concatenate(parts, axis=0))

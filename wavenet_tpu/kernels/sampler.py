@@ -609,8 +609,9 @@ def hbm_sampler_vmem_bytes(config: WaveNetConfig, batch_size: int,
 def stream_hbm_sampler_vmem_bytes(config: WaveNetConfig,
                                   batch_size: int) -> int:
     """VMEM footprint of the streamed-IO HBM-ring path: independent of
-    run length (forced/codes live in HBM behind [2, _IO_CHUNK, 128]
-    double buffers)."""
+    run length (forced/codes live in HBM behind
+    [2, _io_chunk_for(B), _lanes(B)] double buffers — multi-tile
+    batches shrink the chunk rows to hold the byte budget)."""
     c = config
     L, R, D, S, Q = (c.num_layers, c.residual_channels, c.dilation_channels,
                      c.skip_channels, c.quantization_channels)
@@ -630,6 +631,19 @@ def stream_hbm_sampler_vmem_bytes(config: WaveNetConfig,
         io += 2 * (1 << 19)
     return 4 * (weights + slots + io + B * _lanes(Q))
 
+
+
+def chunk_seed(seed: int, i: int) -> int:
+    """PRNG seed for batch chunk ``i`` of a chunked prefill run.
+
+    A splitmix-style mix (golden-ratio multiply) instead of ``seed + i``:
+    with a stride of 1, two batched requests with ADJACENT seeds (e.g.
+    /generate_batch seed=0 then seed=1 at B > 512) would share chunk
+    seeds — request A's chunk 1 would emit the same audio as request B's
+    chunk 0 under the same params. The mix decorrelates every
+    (seed, chunk) pair; int32-safe for the kernel's scalar-prefetch seed.
+    """
+    return int((seed * 0x9E3779B9 + i) & 0x7FFFFFFF)
 
 
 def _logits_in_step_order(logits, collect_logits, n_total: int):
@@ -654,10 +668,10 @@ def _generate_prefill_chunked(params, config, n_samples, seed, batch_size,
     """Serve batch_size > batch_chunk as sequential prefill+streamed runs.
 
     Chunk i runs the full prefill + decode pipeline on rows
-    [i*bc, min((i+1)*bc, B)) with PRNG seed ``seed + i`` (decorrelation
-    mirrors the VMEM kernel's per-chunk-program seeding). Output is the
-    row-wise concatenation — bitwise equal to running each chunk as its
-    own generate_pallas call. All full chunks share one compiled
+    [i*bc, min((i+1)*bc, B)) with PRNG seed ``chunk_seed(seed, i)`` (a
+    splitmix-style mix — adjacent request seeds must not share chunk
+    seeds). Output is the row-wise concatenation — bitwise equal to
+    running each chunk as its own generate_pallas call with that seed. All full chunks share one compiled
     program; a ragged remainder compiles once more. Measured 2026-08-20
     (v5-lite): the b512 chunk sustains ~4.6M samples/s, vs ~0.55M for
     the lax.scan fallback this path replaces at b > 512.
@@ -668,7 +682,8 @@ def _generate_prefill_chunked(params, config, n_samples, seed, batch_size,
         hi = min(lo + bc, B)
         sl = slice(lo, hi)
         out = generate_pallas(
-            params, config, n_samples, seed=seed + i, batch_size=hi - lo,
+            params, config, n_samples, seed=chunk_seed(seed, i),
+            batch_size=hi - lo,
             gc_ids=None if gc_ids is None else gc_ids[sl],
             temperature=temperature,
             seed_codes=None if seed_codes is None else seed_codes[sl],
@@ -741,10 +756,10 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
             # Python-level batch chunking: any batch is served as
             # sequential <=512-lane prefill+streamed runs (one compile
             # for the full chunks, one for a ragged remainder). Chunk i
-            # seeds the hardware PRNG with seed+i — the same
-            # decorrelation convention as the VMEM kernel's in-grid
-            # chunk programs (pltpu.prng_seed(seed + program_id)) — so
-            # the output equals the concatenation of independent runs.
+            # seeds the hardware PRNG with chunk_seed(seed, i) — a
+            # splitmix mix, so adjacent request seeds never share chunk
+            # seeds — and the output equals the concatenation of
+            # independent runs with those seeds.
             if not 1 <= batch_chunk <= 512:
                 raise ValueError("prefill batch_chunk must be in "
                                  f"[1, 512], got {batch_chunk}")

@@ -24,9 +24,13 @@ API (stdlib-only server, JSON in / WAV or JSON out):
                             "seed": 7, "format": "codes" | "wav_b64"}
       -> {"codes": [[...], ...]} (default) or {"wavs_b64": [...]} —
          B streams from ONE batched sampler launch (the multi-tile
-         streamed decode sustains ~300 realtime 16 kHz streams per
-         chip; one PRNG seed covers the launch, lanes decorrelate
-         in-kernel). No lc / speculative on this endpoint.
+         streamed decode sustains hundreds of realtime 16 kHz streams
+         per chip — see docs/performance.md for the current per-round
+         number; one PRNG seed covers the launch, lanes decorrelate
+         in-kernel). No lc / speculative on this endpoint. Bounds:
+         batch <= --max_batch (default 1024), and "codes" responses
+         are capped at CODES_RESPONSE_CAP total ints (use "wav_b64"
+         past it).
 
 Local conditioning (lc-trained checkpoints): ``lc`` is a [frames,
 lc_channels] float array. With ``lc_hop`` the frames are upsampled to
@@ -53,13 +57,19 @@ import numpy as np
 class GenerationService:
     """Checkpoint + compiled sampler + device lock."""
 
+    #: /generate_batch JSON "codes" responses are capped at this many
+    #: total ints (batch * samples); larger results must use "wav_b64"
+    #: (b512 x 16k codes would be an ~40 MB JSON body on the stdlib
+    #: single-threaded writer).
+    CODES_RESPONSE_CAP = 4 * 1024 * 1024
+
     def __init__(self, checkpoint: str, wavenet_params: str,
                  gc_channels: Optional[int] = None,
                  gc_cardinality: Optional[int] = None,
                  sampler: str = "auto", warm_samples: int = 256,
                  draft_checkpoint: Optional[str] = None,
                  draft_wavenet_params: Optional[str] = None,
-                 speculative_k: int = 8):
+                 speculative_k: int = 8, max_batch: int = 1024):
         from wavenet_tpu.models.config import WaveNetConfig
         from wavenet_tpu.models.wavenet import init_params
         from wavenet_tpu.train_lib import restore_params_only
@@ -74,6 +84,7 @@ class GenerationService:
         if params is None:
             raise FileNotFoundError(f"no checkpoint in {checkpoint}")
         self.params = params
+        self.max_batch = max_batch
         self._lock = threading.Lock()
 
         # Optional speculative decoding: a draft checkpoint turns every
@@ -215,6 +226,8 @@ class GenerationService:
         if self.draft_params is not None:
             raise ValueError("speculative serving does not support "
                              "batched generation")
+        if batch is not None:
+            batch = int(batch)
         if gc_ids is not None:
             if not self.config.gc_enabled:
                 raise ValueError("this model was not trained with global "
@@ -225,6 +238,9 @@ class GenerationService:
             batch = len(gc_ids)
         if batch is None or batch < 1:
             raise ValueError("generate_batch needs batch >= 1 or gc_ids")
+        if batch > self.max_batch:
+            raise ValueError(f"batch {batch} exceeds the server's "
+                             f"--max_batch {self.max_batch}")
         gc = (jnp.asarray(gc_ids, jnp.int32)
               if gc_ids is not None else None)
         n_bucket = self.bucket_samples(n_samples)
@@ -332,8 +348,22 @@ def make_handler(service: GenerationService):
                 n = int(req.get("samples", service.sample_rate))
                 if not 1 <= n <= 10 * 60 * service.sample_rate:
                     raise ValueError(f"samples out of range: {n}")
+                batch = req.get("batch")
+                if batch is not None:
+                    batch = int(batch)
+                gc_ids = req.get("gc_ids")
+                # Response-size sanity cap BEFORE generating: a "codes"
+                # JSON body past the cap must ride "wav_b64" instead.
+                b_eff = len(gc_ids) if gc_ids is not None else (batch or 1)
+                if (req.get("format", "codes") == "codes"
+                        and b_eff * n > service.CODES_RESPONSE_CAP):
+                    raise ValueError(
+                        f"codes response would carry {b_eff * n} ints "
+                        f"(cap {service.CODES_RESPONSE_CAP}); use "
+                        '"format": "wav_b64" or request fewer '
+                        "samples/streams")
                 waves = service.generate_batch(
-                    n, batch=req.get("batch"), gc_ids=req.get("gc_ids"),
+                    n, batch=batch, gc_ids=gc_ids,
                     temperature=float(req.get("temperature", 1.0)),
                     seed=int(req.get("seed", 0)))
             except (ValueError, KeyError, TypeError,
@@ -369,6 +399,9 @@ def main(argv=None):
                          "decoding (target-exact distribution).")
     ap.add_argument("--draft_wavenet_params", default=None)
     ap.add_argument("--speculative_k", type=int, default=8)
+    ap.add_argument("--max_batch", type=int, default=1024,
+                    help="Largest /generate_batch batch accepted "
+                         "(requests past it get a 400).")
     args = ap.parse_args(argv)
 
     print("Loading + warming model...")
@@ -377,7 +410,8 @@ def main(argv=None):
                                 args.sampler,
                                 draft_checkpoint=args.draft_checkpoint,
                                 draft_wavenet_params=args.draft_wavenet_params,
-                                speculative_k=args.speculative_k)
+                                speculative_k=args.speculative_k,
+                                max_batch=args.max_batch)
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(service))
     print(f"Serving on http://{args.host}:{args.port} "
