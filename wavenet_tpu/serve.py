@@ -212,8 +212,10 @@ class GenerationService:
                        seed: int = 0) -> np.ndarray:
         """-> float waveforms [B, n_samples] in [-1, 1] from ONE batched
         sampler launch (the big-batch throughput path: the multi-tile
-        streamed decode sustains ~300 realtime 16 kHz streams per chip;
-        chunks-of-512 hold the rate at any B — docs/performance.md).
+        streamed decode sustains ~694 realtime 16 kHz streams per chip
+        at the b512 device rate, bounded in practice by the host link
+        draining the codes; chunks-of-512 hold the rate at any B —
+        docs/performance.md round 5).
 
         ``batch`` or ``len(gc_ids)`` sets B. One PRNG ``seed`` covers
         the launch (lanes decorrelate in-kernel; per-request seeds
