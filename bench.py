@@ -491,7 +491,9 @@ def main():
     def hbm_gb_s(rate, B):
         if rate is None:
             return None
-        return rate / B * stream_decode_hbm_bytes_per_step(paper, B) / 1e9
+        # b512 rides the packed-ring kernel (RING_PACK_AUTO threshold).
+        return rate / B * stream_decode_hbm_bytes_per_step(
+            paper, B, ring_pack=B >= 512) / 1e9
 
     gen_b64_hbm = hbm_gb_s(gen_b64, 64)
     gen_b128_hbm = hbm_gb_s(gen_b128, 128)

@@ -323,7 +323,12 @@ def main():
     from wavenet_tpu.models.wavenet import forward
     scfg = wide_config()
     params_sc = init_params(jax.random.PRNGKey(3), scfg)
-    B_sc, T_sc = 8, 2048
+    # T must exceed rf + W + cont: the conv oracle needs a full
+    # receptive-field window behind every compared position (a 2048
+    # seed against wide's ~3100-sample rf made the window slice start
+    # NEGATIVE and wrap — the first run of this leg false-failed with
+    # max|d|=0.18 from comparing against garbage).
+    B_sc, T_sc = 8, scfg.receptive_field + 512
     amps = jnp.asarray(
         (rng.uniform(-1, 1, (B_sc, T_sc))).astype(np.float32))
     Psc = T_sc - 256
@@ -370,6 +375,84 @@ def main():
               and np.array_equal(s1, s2))
         check(f"scalar wide b{Bs} sampled determinism", ok,
               f"{Bs * 16000 / dt / 1e6:.2f}M samples/s")
+
+    # 10) packed-ring decode (round 5, kernels/sampler_packed.py):
+    # G-row block DMA + VMEM-resident small-dilation layers — the
+    # b512 throughput path. Teacher-forced tail logits vs the conv
+    # oracle (DMA timing on real hardware, which interpret mode does
+    # not model), bitwise identity with the v1 streamed decode, and
+    # determinism at the b512 production shape incl. a G-misaligned
+    # sample count.
+    # collect_logits=16 keeps the b512 logits window at 8 MB — 64 rows
+    # put the packed kernel's VMEM total (75 MB rbuf/wbuf + 11 MB
+    # resident + IO) past the 128 MB core budget (observed OOM).
+    codes_pk = jnp.asarray(rng.randint(0, 256, (512, 8192)))
+    _, l_v1 = generate_pallas(params, paper, n_samples=64, seed=0,
+                              batch_size=512, seed_codes=codes_pk,
+                              prefill=True, ring_pack=False,
+                              collect_logits=16)
+    _, l_pk = generate_pallas(params, paper, n_samples=64, seed=0,
+                              batch_size=512, seed_codes=codes_pk,
+                              prefill=True, ring_pack=True,
+                              collect_logits=16)
+    err = float(np.max(np.abs(np.asarray(l_pk) - np.asarray(l_v1))))
+    check("packed-ring b512 logits == v1 streamed (bitwise)", err == 0.0,
+          f"max|d|={err:.2e}")
+    # (The v1 streamed decode's own conv-oracle checks above anchor
+    # correctness; the bitwise identity extends them to the packed
+    # kernel — same 50k-seed prefill, same sampled trajectory.)
+    t0 = time.perf_counter()
+    k1 = np.asarray(generate_pallas(params, paper, n_samples=16000,
+                                    seed=23, batch_size=512, prefill=True,
+                                    ring_pack=True,
+                                    weight_dtype=jnp.bfloat16))
+    dt = time.perf_counter() - t0
+    k2 = np.asarray(generate_pallas(params, paper, n_samples=16000,
+                                    seed=23, batch_size=512, prefill=True,
+                                    ring_pack=True,
+                                    weight_dtype=jnp.bfloat16))
+    ok = (k1.shape == (512, 16000) and k1.min() >= 0 and k1.max() < 256
+          and np.array_equal(k1, k2))
+    check("packed-ring b512 sampled determinism", ok,
+          f"{512 * 16000 / dt / 1e6:.2f}M samples/s")
+    k3 = np.asarray(generate_pallas(params, paper, n_samples=4099,
+                                    seed=29, batch_size=512, prefill=True,
+                                    ring_pack=True,
+                                    weight_dtype=jnp.bfloat16))
+    k4 = np.asarray(generate_pallas(params, paper, n_samples=4099,
+                                    seed=29, batch_size=512, prefill=True,
+                                    ring_pack=True,
+                                    weight_dtype=jnp.bfloat16))
+    check("packed-ring b512 G-misaligned tail determinism",
+          bool(np.array_equal(k3, k4)) and k3.shape == (512, 4099))
+    # Long teacher-forced continuation THROUGH the packed decode (full
+    # ring wraps at every dilation, b64 to keep the oracle cheap):
+    # prefill 50k codes, force a 50k continuation, tail-logit window vs
+    # the conv forward — the same harness as legs 5/7.
+    from wavenet_tpu.kernels.sampler_packed import (
+        pack_factor, pack_ring_rows, run_packed_decode)
+    Gp = pack_factor(paper)
+    carry_pk = prefill_carry(params, paper, codes[:, :P])
+    packed_w = pack_sampler_weights(params, paper, 64)
+    ring_v2 = pack_ring_rows(carry_pk.ring, paper, carry_pk.t_abs)
+    forced_pk = jnp.transpose(codes[:, P - 1:P - 1 + cont])
+    T_pad_pk = -(-cont // _IO_CHUNK) * _IO_CHUNK
+    lanes_pk = jnp.zeros((T_pad_pk, 128), jnp.int32)
+    lanes_pk = lanes_pk.at[:cont, 0:64].set(forced_pk)
+    _, logits_pk2, _, _ = run_packed_decode(
+        packed_w, lanes_pk,
+        jnp.asarray([0, carry_pk.t_abs, carry_pk.t_abs // Gp], jnp.int32),
+        ring_v2, carry_pk.causal, paper, cont, cont, 64, 1.0, W,
+        resume=True)
+    logits_pk2 = np.asarray(_logits_in_step_order(logits_pk2, W, cont))
+    logits_pk2 = np.moveaxis(logits_pk2, 0, 1)
+    oracle_pk2 = np.asarray(forced_logits_window(
+        params, paper, codes[:, :P - 1 + cont], W))
+    err = float(np.max(np.abs(logits_pk2 - oracle_pk2)))
+    scale = float(np.max(np.abs(oracle_pk2)))
+    check("packed-ring b64 50k-seed + forced continuation",
+          err <= 2e-4 * max(scale, 1.0),
+          f"max|d|={err:.2e} scale={scale:.1f}")
 
     print("\n" + ("ALL CHECKS PASSED" if not FAILURES
                   else f"FAILED: {FAILURES}"), flush=True)

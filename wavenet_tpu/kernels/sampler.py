@@ -66,6 +66,14 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 # later calls instead of re-paying seconds of failing compile each time.
 _VMEM_DECODE_FAILED: set = set()
 
+# Auto-route eligible prefill decodes (B >= 512, no lc, R <= 64)
+# through the packed-ring kernel (kernels/sampler_packed.py): +43%
+# decode throughput at b512, bitwise-identical output (hardware stress
+# run baselines/sampler_stress_r6.txt; A/B in docs/performance.md
+# round 5). generate_pallas(ring_pack=False) still forces the v1
+# streamed decode per call.
+RING_PACK_AUTO = True
+
 
 class PackedSampler(NamedTuple):
     """Kernel-ready weight layout (all fp32, every leaf >= 2-D).
@@ -664,7 +672,8 @@ def _logits_in_step_order(logits, collect_logits, n_total: int):
 def _generate_prefill_chunked(params, config, n_samples, seed, batch_size,
                               seed_codes, temperature, collect_logits,
                               gc_ids, weight_dtype, batch_chunk, lc,
-                              lc_prime, vpu_b1, interpret):
+                              lc_prime, vpu_b1, interpret,
+                              state_dtype=jnp.float32):
     """Serve batch_size > batch_chunk as sequential prefill+streamed runs.
 
     Chunk i runs the full prefill + decode pipeline on rows
@@ -688,7 +697,8 @@ def _generate_prefill_chunked(params, config, n_samples, seed, batch_size,
             temperature=temperature,
             seed_codes=None if seed_codes is None else seed_codes[sl],
             collect_logits=collect_logits, interpret=interpret,
-            weight_dtype=weight_dtype, prefill=True,
+            weight_dtype=weight_dtype, state_dtype=state_dtype,
+            prefill=True,
             lc=None if lc is None else lc[sl],
             lc_prime=None if lc_prime is None else lc_prime[sl],
             vpu_b1=vpu_b1)
@@ -717,7 +727,8 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
                     prefill: bool = False,
                     lc: Optional[jnp.ndarray] = None,
                     lc_prime: Optional[jnp.ndarray] = None,
-                    vpu_b1: bool = True):
+                    vpu_b1: bool = True,
+                    ring_pack: Optional[bool] = None):
     """Generate mu-law codes [B, n_samples] in a single kernel launch.
 
     ``seed_codes`` [B, T_seed] teacher-forces the first T_seed steps (queue
@@ -739,6 +750,13 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
     VMEM kernels (incl. batch_chunk) and the prefill/streamed paths;
     the legacy single-pass HBM-ring kernel raises NotImplementedError
     (the ordered fallback skips it).
+
+    ``ring_pack`` (prefill path): route the decode through the
+    packed-ring kernel (kernels/sampler_packed.py — contiguous G-row
+    ring blocks + VMEM-resident small-dilation layers; round-5
+    DMA-count optimization, +43% at b512). True = force (raises if
+    unsupported); None = auto (on when eligible: B >= 512, no lc,
+    residual_channels <= 64); False = always the v1 streamed decode.
     """
     c = config
     if c.filter_width != 2:
@@ -768,7 +786,7 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
                     params, config, n_samples, seed, batch_size,
                     seed_codes, temperature, collect_logits, gc_ids,
                     weight_dtype, batch_chunk, lc, lc_prime, vpu_b1,
-                    interpret)
+                    interpret, state_dtype)
             batch_chunk = 0     # fits in one call
         if B > 512:
             # The streamed decode packs the batch into the lanes of the
@@ -782,8 +800,10 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
             raise NotImplementedError(
                 "prefill + streamed decode supports batch_size <= 512 "
                 f"per kernel launch; got {B} (use batch_chunk)")
-        # state_dtype is ignored: the streamed kernel's HBM ring is f32
-        # by construction (weight_dtype still applies).
+        # state_dtype applies to the streamed decode's HBM ring too
+        # (round 5): bf16 halves the decode's dominant HBM traffic —
+        # past rows requantize on store (small logit drift, same class
+        # as weight_dtype=bf16); f32 remains the parity default.
 
     gc_emb = embed_gc(params, c, gc_ids) if gc_ids is not None else None
     packed = pack_sampler_weights(params, c, B, gc_emb, weight_dtype)
@@ -818,6 +838,64 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
                               lc=lc_p)
         lc_tm = (jnp.moveaxis(lc.astype(jnp.float32), 1, 0)
                  if lc is not None else None)
+        # Packed-ring decode (round 5): contiguous G-row blocks cut the
+        # per-step ring DMA count (the measured 40% of step latency at
+        # b512) G-fold, and d<=8 layers go VMEM-resident. Measured A/B
+        # vs the v1 streamed decode (device rate, 16k samples, bf16w):
+        # b512 15.9M vs 11.1M (+43%); b256/b128 neutral-to-slightly-
+        # slower (quad orchestration offsets the smaller DMA savings)
+        # — hence the B >= 512 auto threshold.
+        from wavenet_tpu.kernels import sampler_packed as _sp
+        supported = (lc is None and not batch_chunk
+                     and _sp.pack_factor(c) >= 2)
+        pk_key = (c, B, n_samples,
+                  True if collect_logits is True
+                  else int(collect_logits) if collect_logits else 0,
+                  jnp.dtype(weight_dtype).name, "ring_pack")
+        auto_on = (supported and B >= 512 and RING_PACK_AUTO
+                   and pk_key not in _VMEM_DECODE_FAILED)
+        if ring_pack or (ring_pack is None and auto_on):
+            if not supported:
+                raise NotImplementedError(
+                    "ring_pack needs a no-lc prefill decode with "
+                    "residual_channels <= 64")
+            from wavenet_tpu.sampler_select import is_compile_failure
+            ring_v2 = _sp.pack_ring_rows(carry.ring, c, carry.t_abs,
+                                         state_dtype)
+            C = _io_chunk_for(B)
+            T_pad = -(-n_samples // C) * C
+            forced_lanes = jnp.zeros((T_pad, _lanes(B)), fdtype)
+            forced_lanes = forced_lanes.at[0, 0:B].set(
+                carry.last.astype(fdtype))
+            G = _sp.pack_factor(c)
+            seed3 = jnp.asarray(
+                [seed, carry.t_abs, carry.t_abs // G], jnp.int32)
+            try:
+                if interpret:
+                    with pltpu.force_tpu_interpret_mode():
+                        codes, logits, _, _ = _sp.run_packed_decode(
+                            packed, forced_lanes, seed3, ring_v2,
+                            carry.causal, c, n_samples, 1, B,
+                            temperature, collect_logits, resume=True)
+                else:
+                    codes, logits, _, _ = _sp.run_packed_decode(
+                        packed, forced_lanes, seed3, ring_v2,
+                        carry.causal, c, n_samples, 1, B, temperature,
+                        collect_logits, resume=True)
+            except Exception as e:  # noqa: BLE001 — compile-failure gate
+                # An auto-routed packed decode that fails to compile
+                # (e.g. a big collect_logits window pushing the packed
+                # buffers past VMEM) degrades to the v1 streamed
+                # decode; an explicit ring_pack=True propagates.
+                if ring_pack or not is_compile_failure(e):
+                    raise
+                _VMEM_DECODE_FAILED.add(pk_key)
+            else:
+                if collect_logits:
+                    logits = _logits_in_step_order(
+                        logits, collect_logits, n_samples)
+                    return codes, jnp.moveaxis(logits, 0, 1)
+                return codes
         # Short-enough runs decode in the all-VMEM kernel from the
         # prefilled ring: no per-layer HBM ring DMA (measured 11.1 vs
         # 12.4 us/step at b1 — the round-4 b1 production path). The
@@ -871,9 +949,12 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
         T_pad = -(-n_samples // C) * C
         forced_lanes = jnp.zeros((T_pad, _lanes(B)), fdtype)
         forced_lanes = forced_lanes.at[0, 0:B].set(carry.last.astype(fdtype))
+        ring0 = carry.ring
+        if jnp.dtype(state_dtype) != ring0.dtype:
+            ring0 = ring0.astype(state_dtype)
         args_p = (packed, forced_lanes,
                   jnp.asarray([seed, carry.t_abs], jnp.int32),
-                  carry.ring, carry.causal, c, n_samples, 1, B,
+                  ring0, carry.causal, c, n_samples, 1, B,
                   temperature, collect_logits, True)
         if interpret:
             with pltpu.force_tpu_interpret_mode():
@@ -908,7 +989,7 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
         T_pad = -(-n_total // C) * C
         forced_lanes = jnp.zeros((T_pad, _lanes(B)), forced.dtype)
         forced_lanes = forced_lanes.at[:n_total, 0:B].set(forced)
-        ring0, causal0 = _stream_zero_state(c, B)
+        ring0, causal0 = _stream_zero_state(c, B, state_dtype)
         args_s = (packed, forced_lanes, jnp.asarray([seed, 0], jnp.int32),
                   ring0, causal0, c, n_total, n_forced, B, temperature,
                   collect_logits)
@@ -1244,7 +1325,7 @@ def _sampler_kernel_hbm_stream(
     config: WaveNetConfig, offsets: Tuple[int, ...], n_total: int,
     n_forced: int, batch_size: int, inv_temperature: float, io_chunk: int,
     resume: bool, has_lc: bool = False, lc_chunk: int = 0,
-    vpu_chain: bool = False,
+    vpu_chain: bool = False, ablate: str = "",
 ):
     # Optional input groups, in operand order: [layer_wT, layer_addT]
     # when vpu_chain; [lc_w, lc_hbm(, lc_wT)] when has_lc.
@@ -1391,18 +1472,25 @@ def _sampler_kernel_hbm_stream(
             row = lcbuf_ref[lax.rem(t // LCC, 2), lax.rem(t, LCC)]
             lc_t = row[:, 0:lc_w_ref.shape[1]].astype(lc_w_ref.dtype)
 
-        for l in range(L):
-            @pl.when(t > 0)
-            def _(l=l):
-                write_dma(l, row_pos(l, t - 1)).wait()
-            read_dma(l, row_pos(l, t)).start()
+        # ``ablate`` (timing diagnostics only — numerically WRONG, used
+        # by tools/r5_decode_latency.py to attribute the per-step cost):
+        # "ring_dma" drops every ring read/write (past rows are stale
+        # VMEM garbage); "skip_mm" drops the per-layer skip matmul.
+        if ablate != "ring_dma":
+            for l in range(L):
+                @pl.when(t > 0)
+                def _(l=l):
+                    write_dma(l, row_pos(l, t - 1)).wait()
+                read_dma(l, row_pos(l, t)).start()
 
         skip_sum = jnp.zeros((B, S), jnp.float32)
         for i in range(L):
-            read_dma(i, row_pos(i, t)).wait()
+            if ablate != "ring_dma":
+                read_dma(i, row_pos(i, t)).wait()
             past = rbuf_ref[i, :, 0:R].astype(jnp.float32)
-            wbuf_ref[i, :, 0:R] = current
-            write_dma(i, row_pos(i, t)).start()
+            wbuf_ref[i, :, 0:R] = current.astype(wbuf_ref.dtype)
+            if ablate != "ring_dma":
+                write_dma(i, row_pos(i, t)).start()
             x_cat = jnp.concatenate([past, current], axis=-1)
             if vpu_chain:
                 # b=1 VPU matvec chain (PackedSampler docstring): the fg
@@ -1439,8 +1527,9 @@ def _sampler_kernel_hbm_stream(
             out = tg[:, :D] * (0.5 + 0.5 * tg[:, D:])
             d = mxu_dot(out.astype(dense_w_ref.dtype), dense_w_ref[i])
             current = current + d + dense_add_ref[i]
-            skip_sum = skip_sum + mxu_dot(out.astype(skip_w_ref.dtype),
-                                          skip_w_ref[i])
+            if ablate != "skip_mm":
+                skip_sum = skip_sum + mxu_dot(out.astype(skip_w_ref.dtype),
+                                              skip_w_ref[i])
 
         h = jnp.maximum(skip_sum + skip_b_ref[...], 0.0)
         h = mxu_dot(h.astype(post1_w_ref.dtype), post1_w_ref[...]) + post1_b_ref[...]
@@ -1550,8 +1639,9 @@ def _sampler_kernel_hbm_stream(
     causal_out_ref[...] = causal_buf_ref[...]
 
     # Drain outstanding ring writes and codes flushes.
-    for l in range(L):
-        write_dma(l, row_pos(l, n_total - 1)).wait()
+    if ablate != "ring_dma":
+        for l in range(L):
+            write_dma(l, row_pos(l, n_total - 1)).wait()
     if n_chunks >= 2:
         c_dma(n_chunks - 2).wait()
     c_dma(n_chunks - 1).wait()
@@ -1560,7 +1650,7 @@ def _sampler_kernel_hbm_stream(
 @functools.partial(
     jax.jit,
     static_argnames=("config", "n_total", "n_forced", "batch_size",
-                     "temperature", "collect_logits", "resume"),
+                     "temperature", "collect_logits", "resume", "ablate"),
     donate_argnames=("ring_in",))
 def _run_sampler_kernel_hbm_stream(packed: PackedSampler,
                                    forced_lanes: jnp.ndarray,
@@ -1571,7 +1661,8 @@ def _run_sampler_kernel_hbm_stream(packed: PackedSampler,
                                    n_forced: int, batch_size: int,
                                    temperature: float, collect_logits,
                                    resume: bool = False,
-                                   lc_stream: Optional[jnp.ndarray] = None):
+                                   lc_stream: Optional[jnp.ndarray] = None,
+                                   ablate: str = ""):
     """seed: [2] int32 = [prng_seed, t0]. ring_in is DONATED and aliased
     onto the ring output; pass zeros when resume=False. ``lc_stream``
     [n_total, B, C_lc] f32 (local conditioning; row t conditions step
@@ -1588,6 +1679,11 @@ def _run_sampler_kernel_hbm_stream(packed: PackedSampler,
     assert T_pad % C == 0 and T_pad >= n_total
     assert forced_lanes.shape[1] == BP
     fdtype = forced_lanes.dtype
+    # Ring dtype follows the ring_in operand (part of its aval — static
+    # under jit): bf16 halves the dominant HBM traffic of the decode
+    # (round 5 measured the f32 ring at ~49% of peak bandwidth at b512).
+    # Past rows requantize on store; reads upcast to f32.
+    ring_dtype = ring_in.dtype
     has_lc = lc_stream is not None
     # b=1 VPU-chain path: enabled by the presence of the transposed
     # weight fields (packed only at batch_size == 1; stripped by the
@@ -1601,7 +1697,7 @@ def _run_sampler_kernel_hbm_stream(packed: PackedSampler,
         _sampler_kernel_hbm_stream, config=c, offsets=ring_offsets(c),
         n_total=n_total, n_forced=n_forced, batch_size=B,
         inv_temperature=1.0 / temperature, io_chunk=C, resume=resume,
-        has_lc=has_lc, lc_chunk=LCC, vpu_chain=vpu_chain)
+        has_lc=has_lc, lc_chunk=LCC, vpu_chain=vpu_chain, ablate=ablate)
     # collect_logits: True = every step; int W = ring of the last
     # W steps (bounded VMEM for arbitrarily long runs); False = 1.
     n_log = (n_total if collect_logits is True
@@ -1626,9 +1722,9 @@ def _run_sampler_kernel_hbm_stream(packed: PackedSampler,
         operands += [packed.layer_wT, packed.layer_addT]
     scratch = [
         pltpu.VMEM((B, (kw_in - 1) * c.input_channels), jnp.float32),
-        pltpu.VMEM((L, B, 128), jnp.float32),      # rbuf
-        pltpu.VMEM((L, B, 128), jnp.float32),      # wbuf
-        pltpu.VMEM((zc, B, 128), jnp.float32),     # zbuf
+        pltpu.VMEM((L, B, 128), ring_dtype),       # rbuf
+        pltpu.VMEM((L, B, 128), ring_dtype),       # wbuf
+        pltpu.VMEM((zc, B, 128), ring_dtype),      # zbuf
         pltpu.VMEM((2, C, BP), fdtype),            # forced chunks
         pltpu.VMEM((2, C, BP), jnp.int32),         # codes chunks
     ]
@@ -1675,7 +1771,7 @@ def _run_sampler_kernel_hbm_stream(packed: PackedSampler,
         out_shape=(
             jax.ShapeDtypeStruct((T_pad, BP), jnp.int32),
             jax.ShapeDtypeStruct((1, n_log, B, Q), jnp.float32),
-            jax.ShapeDtypeStruct((sum_d, B, 128), jnp.float32),
+            jax.ShapeDtypeStruct((sum_d, B, 128), ring_dtype),
             jax.ShapeDtypeStruct((B, (kw_in - 1) * c.input_channels),
                                  jnp.float32),
         ),
@@ -1699,10 +1795,11 @@ class StreamSamplerCarry(NamedTuple):
     last: jnp.ndarray       # [B] last emitted code (or amplitude, scalar)
 
 
-def _stream_zero_state(config: WaveNetConfig, batch_size: int):
+def _stream_zero_state(config: WaveNetConfig, batch_size: int,
+                       state_dtype=jnp.float32):
     c = config
     kw_in = (c.initial_filter_width if c.scalar_input else c.filter_width)
-    ring = jnp.zeros((sum(c.dilations), batch_size, 128), jnp.float32)
+    ring = jnp.zeros((sum(c.dilations), batch_size, 128), state_dtype)
     causal = jnp.zeros((batch_size, (kw_in - 1) * c.input_channels),
                        jnp.float32)
     return ring, causal

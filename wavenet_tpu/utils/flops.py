@@ -112,7 +112,8 @@ def weight_bytes(config: WaveNetConfig, bytes_per_el: int = 4) -> int:
 
 
 def stream_decode_hbm_bytes_per_step(config: WaveNetConfig,
-                                     batch_size: int) -> int:
+                                     batch_size: int,
+                                     ring_pack: bool = False) -> int:
     """HBM bytes the streamed-IO decode kernel moves per emitted sample
     row (the big-batch roofline axis, VERDICT r3 item 3).
 
@@ -123,12 +124,21 @@ def stream_decode_hbm_bytes_per_step(config: WaveNetConfig,
     128-lane int32 row each per step (amortized through the double-
     buffered chunks), and an LC stream adds one [B, 128] f32 row.
     Weights live in VMEM for the whole run — zero per-step HBM traffic.
+
+    ``ring_pack`` (round 5, kernels/sampler_packed.py): layers with
+    dilation <= 8 are VMEM-resident (zero steady-state DMA); the rest
+    move G-row blocks once per G steps — same bytes/step per packed
+    layer, but the resident layers' traffic drops out. (The packed
+    win is DMA *count*, which this bytes model cannot express.)
     """
     c = config
     B = batch_size
     lanes = 128  # ring rows are lane-padded to the 128 tile
     rec = -(-B // 128) * 128  # forced/codes record width (multi-tile b>128)
-    ring = 2 * c.num_layers * B * lanes * 4
+    n_layers = c.num_layers
+    if ring_pack:
+        n_layers = sum(1 for d in c.dilations if d > 8)
+    ring = 2 * n_layers * B * lanes * 4
     io = 2 * rec * 4
     lc = B * lanes * 4 if c.lc_enabled else 0
     return ring + io + lc
