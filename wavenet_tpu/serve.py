@@ -211,8 +211,8 @@ class GenerationService:
                        temperature: float = 1.0,
                        seed: int = 0) -> np.ndarray:
         """-> float waveforms [B, n_samples] in [-1, 1] from ONE batched
-        sampler launch (the big-batch throughput path: the multi-tile
-        streamed decode sustains ~694 realtime 16 kHz streams per chip
+        sampler launch (the big-batch throughput path: the packed-ring
+        streamed decode sustains ~990 realtime 16 kHz streams per chip
         at the b512 device rate, bounded in practice by the host link
         draining the codes; chunks-of-512 hold the rate at any B —
         docs/performance.md round 5).
