@@ -106,6 +106,37 @@ def test_packed_gc(rng):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.parametrize("il,B", [(2, 16), (4, 32)])
+def test_packed_interleave_bitwise(rng, il, B):
+    """Sub-batch interleave (round-5 experiment, kept as an opt-in
+    knob): IL independent row chains must emit bitwise-identical codes
+    and logits — matmul rows are independent, so a sublane-aligned row
+    split never changes a row's K-reduction order. Hardware-verified at
+    b512 (tools/r5_interleave_ab.py); this pins the interpret twin."""
+    cfg = small_config()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    codes = jnp.asarray(rng.randint(0, 64, (B, cfg.receptive_field + 2)))
+    a, la = generate_pallas(params, cfg, 11, seed=3, batch_size=B,
+                            seed_codes=codes, prefill=True,
+                            ring_pack=True, collect_logits=True,
+                            interpret=True)
+    b, lb = generate_pallas(params, cfg, 11, seed=3, batch_size=B,
+                            seed_codes=codes, prefill=True,
+                            ring_pack=True, collect_logits=True,
+                            ring_interleave=il, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_packed_interleave_rejects_misaligned():
+    cfg = small_config()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError, match="interleave"):
+        generate_pallas(params, cfg, 8, seed=1, batch_size=4,
+                        prefill=True, ring_pack=True, ring_interleave=2,
+                        interpret=True)
+
+
 def test_packed_rejects_lc(rng):
     cfg = small_config(lc_channels=3)
     params = init_params(jax.random.PRNGKey(3), cfg)

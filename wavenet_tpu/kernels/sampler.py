@@ -728,7 +728,8 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
                     lc: Optional[jnp.ndarray] = None,
                     lc_prime: Optional[jnp.ndarray] = None,
                     vpu_b1: bool = True,
-                    ring_pack: Optional[bool] = None):
+                    ring_pack: Optional[bool] = None,
+                    ring_interleave: int = 1):
     """Generate mu-law codes [B, n_samples] in a single kernel launch.
 
     ``seed_codes`` [B, T_seed] teacher-forces the first T_seed steps (queue
@@ -757,6 +758,13 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
     DMA-count optimization, +43% at b512). True = force (raises if
     unsupported); None = auto (on when eligible: B >= 512, no lc,
     residual_channels <= 64); False = always the v1 streamed decode.
+
+    ``ring_interleave`` (packed path, experimental): split the batch
+    into that many independent row chains with alternated instruction
+    issue in the layer loop. Bitwise-identical outputs (hardware-
+    verified at b512); measured NEUTRAL at IL=2 and SLOWER at IL=4 on
+    an idle chip (tools/r5_interleave_ab.py, docs/performance.md round
+    5) — Mosaic already overlaps what it can — so the default stays 1.
     """
     c = config
     if c.filter_width != 2:
@@ -876,12 +884,14 @@ def generate_pallas(params: Params, config: WaveNetConfig, n_samples: int,
                         codes, logits, _, _ = _sp.run_packed_decode(
                             packed, forced_lanes, seed3, ring_v2,
                             carry.causal, c, n_samples, 1, B,
-                            temperature, collect_logits, resume=True)
+                            temperature, collect_logits, resume=True,
+                            interleave=ring_interleave)
                 else:
                     codes, logits, _, _ = _sp.run_packed_decode(
                         packed, forced_lanes, seed3, ring_v2,
                         carry.causal, c, n_samples, 1, B, temperature,
-                        collect_logits, resume=True)
+                        collect_logits, resume=True,
+                        interleave=ring_interleave)
             except Exception as e:  # noqa: BLE001 — compile-failure gate
                 # An auto-routed packed decode that fails to compile
                 # (e.g. a big collect_logits window pushing the packed

@@ -165,6 +165,7 @@ def _decode_kernel_packed(
     *,
     config: WaveNetConfig, G: int, n_total: int, n_forced: int,
     batch_size: int, inv_temperature: float, io_chunk: int, resume: bool,
+    interleave: int = 1,
 ):
     c = config
     L, R, D, S, Q = (c.num_layers, c.residual_channels, c.dilation_channels,
@@ -325,34 +326,62 @@ def _decode_kernel_packed(
                           causal_w_ref[...])
         causal_buf_ref[...] = window[:, C_in:]
 
-        skip_sum = jnp.zeros((B, S), jnp.float32)
+        # Sub-batch interleave (round 5): split the batch into IL
+        # independent row chains and alternate their instruction issue
+        # inside the layer loop, so one chain's VPU gating can overlap
+        # another's MXU matmuls in Mosaic's in-order stream. Matmul rows
+        # are independent and the split is at a 128-row boundary, so the
+        # emitted values are bitwise identical to IL=1.
+        IL = interleave
+        H = B // IL
+        halves = [slice(h * H, (h + 1) * H) for h in range(IL)]
+        cur = [current[hs] for hs in halves] if IL > 1 else [current]
+        skip_sum = [jnp.zeros((H, S), jnp.float32) for _ in range(IL)]
         for i in range(L):
             kind = kinds[i]
+            past = [None] * IL
             if kind == "r":
                 pos = res_off[i] + lax.rem(t0 + t, c.dilations[i])
-                past = res_ref[pos, :, 0:R].astype(jnp.float32)
-                res_ref[pos, :, 0:R] = current.astype(res_ref.dtype)
+                for h, hs in enumerate(halves):
+                    past[h] = res_ref[pos, hs, 0:R].astype(jnp.float32)
+                for h, hs in enumerate(halves):
+                    res_ref[pos, hs, 0:R] = cur[h].astype(res_ref.dtype)
             elif kind == "p":
                 idx = p_slot(i, q) + g
-                past = rbuf_ref[idx, :, 0:R].astype(jnp.float32)
-                wbuf_ref[idx, :, 0:R] = current.astype(wbuf_ref.dtype)
+                for h, hs in enumerate(halves):
+                    past[h] = rbuf_ref[idx, hs, 0:R].astype(jnp.float32)
+                for h, hs in enumerate(halves):
+                    wbuf_ref[idx, hs, 0:R] = cur[h].astype(wbuf_ref.dtype)
             else:
                 s_read(i, t).wait()
-                past = sbuf_r_ref[s_idx[i], :, 0:R].astype(jnp.float32)
-                sbuf_w_ref[s_idx[i], :, 0:R] = current.astype(
-                    sbuf_w_ref.dtype)
+                for h, hs in enumerate(halves):
+                    past[h] = sbuf_r_ref[s_idx[i], hs, 0:R].astype(
+                        jnp.float32)
+                for h, hs in enumerate(halves):
+                    sbuf_w_ref[s_idx[i], hs, 0:R] = cur[h].astype(
+                        sbuf_w_ref.dtype)
                 s_write(i, t).start()
-            x_cat = jnp.concatenate([past, current], axis=-1)
-            fg = mxu_dot(x_cat.astype(layer_w_ref.dtype), layer_w_ref[i])
-            fg = fg + layer_add_ref[0, i]
-            tg = jnp.tanh(fg)   # gate half pre-scaled 0.5 at pack time
-            out = tg[:, :D] * (0.5 + 0.5 * tg[:, D:])
-            dproj = mxu_dot(out.astype(dense_w_ref.dtype), dense_w_ref[i])
-            current = current + dproj + dense_add_ref[i]
-            skip_sum = skip_sum + mxu_dot(out.astype(skip_w_ref.dtype),
-                                          skip_w_ref[i])
+            fg = [None] * IL
+            for h, hs in enumerate(halves):
+                x_cat = jnp.concatenate([past[h], cur[h]], axis=-1)
+                fg[h] = (mxu_dot(x_cat.astype(layer_w_ref.dtype),
+                                 layer_w_ref[i])
+                         + (layer_add_ref[0, i, hs] if IL > 1
+                            else layer_add_ref[0, i]))
+            out = [None] * IL
+            for h in range(IL):
+                tg = jnp.tanh(fg[h])  # gate half pre-scaled 0.5 at pack
+                out[h] = tg[:, :D] * (0.5 + 0.5 * tg[:, D:])
+            for h, hs in enumerate(halves):
+                dproj = mxu_dot(out[h].astype(dense_w_ref.dtype),
+                                dense_w_ref[i])
+                cur[h] = cur[h] + dproj + dense_add_ref[i]  # [1,R] bcast
+                skip_sum[h] = skip_sum[h] + mxu_dot(
+                    out[h].astype(skip_w_ref.dtype), skip_w_ref[i])
+        skip_all = (jnp.concatenate(skip_sum, axis=0) if IL > 1
+                    else skip_sum[0])
 
-        h = jnp.maximum(skip_sum + skip_b_ref[...], 0.0)
+        h = jnp.maximum(skip_all + skip_b_ref[...], 0.0)
         h = mxu_dot(h.astype(post1_w_ref.dtype),
                     post1_w_ref[...]) + post1_b_ref[...]
         h = jnp.maximum(h, 0.0)
@@ -488,21 +517,31 @@ def _decode_kernel_packed(
 @functools.partial(
     jax.jit,
     static_argnames=("config", "n_total", "n_forced", "batch_size",
-                     "temperature", "collect_logits", "resume"),
+                     "temperature", "collect_logits", "resume",
+                     "interleave"),
     donate_argnames=("ring_in",))
 def run_packed_decode(packed, forced_lanes: jnp.ndarray,
                       seed: jnp.ndarray, ring_in: jnp.ndarray,
                       causal_in: jnp.ndarray, config: WaveNetConfig,
                       n_total: int, n_forced: int, batch_size: int,
                       temperature: float, collect_logits,
-                      resume: bool = False):
+                      resume: bool = False, interleave: int = 1):
     """Launch the packed-ring decode.
 
     ``ring_in`` must be in the v2 layout (``pack_ring_rows``) and is
     donated/aliased onto the ring output; ``seed`` is
     [prng_seed, t0, t0 // G] int32 — t0 % G is baked into the layout by
     ``pack_ring_rows``, so lane groups align with t % G in-kernel.
+
+    ``interleave`` splits the batch into that many independent row
+    chains alternated inside the layer loop. Bitwise-identical values at
+    ANY row split (row tiling never changes a matmul row's K-reduction
+    order); sublane alignment (8 rows per chain) keeps the slices cheap,
+    and the perf intent is full lane tiles per chain (B >= 128 * IL).
     """
+    if interleave > 1 and batch_size % (8 * interleave):
+        raise ValueError("interleave needs B % (8*interleave) == 0, "
+                         f"got B={batch_size}, interleave={interleave}")
     from wavenet_tpu.kernels.sampler import _io_chunk_for, _lanes
 
     c = config
@@ -525,7 +564,8 @@ def run_packed_decode(packed, forced_lanes: jnp.ndarray,
     kernel = functools.partial(
         _decode_kernel_packed, config=c, G=G, n_total=n_total,
         n_forced=n_forced, batch_size=B,
-        inv_temperature=1.0 / temperature, io_chunk=C, resume=resume)
+        inv_temperature=1.0 / temperature, io_chunk=C, resume=resume,
+        interleave=interleave)
     n_log = (n_total if collect_logits is True
              else int(collect_logits) if collect_logits else 1)
     zc = min(64, rows_total, max(8, (1 << 21) // (max(B, 1) * 128 * 4)))
